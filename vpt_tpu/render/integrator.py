@@ -1,0 +1,379 @@
+"""The wavefront path integrator.
+
+TPU-native re-design of the reference's RT megakernel (RayGen.slang:9-160 +
+ClosestHit.slang + Miss.slang): instead of one GPU thread per pixel running a
+divergent loop, the whole pixel wavefront advances one path event per
+`while_loop` iteration with masked lanes.  Each iteration:
+
+  1. traces the wavefront against the BVH (replaces TraceRay),
+  2. shades misses with env radiance × MIS weight (Miss.slang),
+  3. walks nested-dielectric interiors (ClosestHit.slang:80-116),
+  4. runs NEE for sky + emissive meshes with a *batched* 2N shadow-ray
+     traversal (ClosestHit.slang:125-184),
+  5. samples the BSDF, applies MIS weights for emissive hits, firefly
+     clamping and Russian roulette (RayGen.slang:92-113).
+
+Everything is under one jit; no data-dependent Python control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vpt_tpu.core import rng
+from vpt_tpu.core.camera import generate_primary_rays
+from vpt_tpu.core.vecmath import dot, luminance, normalize, power_heuristic
+from vpt_tpu.render import bsdf as bsdf_mod
+from vpt_tpu.render import lights, sampling
+from vpt_tpu.render import surface as surface_mod
+from vpt_tpu.accel import traverse
+from vpt_tpu.render.params import RenderFlags, RenderParams
+
+
+def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN, t_max=traverse.T_MAX):
+    """Dispatch to brute-force or BVH traversal based on scene size."""
+    if meta.use_brute_force:
+        n_real = meta.n_tris  # exclude padding
+        hit = traverse.intersect_brute(
+            origin, direction, scene.tri_p0[:n_real], scene.tri_e1[:n_real], scene.tri_e2[:n_real],
+            t_min, t_max,
+        )
+        return traverse.Hit(
+            t=jnp.where(active, hit.t, -1.0),
+            tri=jnp.where(active, hit.tri, -1),
+            u=hit.u,
+            v=hit.v,
+        )
+    b = scene.bvh
+    return traverse.intersect_bvh(
+        origin, direction,
+        b.nodes_min, b.nodes_max, b.node_first, b.node_count, b.node_skip,
+        scene.tri_p0, scene.tri_e1, scene.tri_e2,
+        t_min, t_max, active=active,
+    )
+
+
+def path_trace_sample(
+    scene,
+    meta,
+    flags: RenderFlags,
+    params: RenderParams,
+    pixel_xy: jnp.ndarray,  # (N, 2) float
+    pixel_index: jnp.ndarray,  # (N,) linear index for RNG seeding
+    resolution,  # (width, height) static
+    sample_seed: jnp.ndarray,  # scalar uint32 (sample index ^ frame seed mix)
+):
+    """Trace one full path per pixel; returns (N, 3) radiance estimate."""
+    n = pixel_xy.shape[0]
+    state = rng.seed(pixel_index, 0, sample_seed)
+
+    state, origin, direction = generate_primary_rays(
+        params.view_inverse, params.proj_inverse, pixel_xy, resolution, state,
+        params.focus_distance, params.dof_strength,
+    )
+
+    carry = dict(
+        state=state,
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        prev_pdf=jnp.ones(n, jnp.float32),
+        depth=jnp.zeros(n, jnp.int32),
+        alive=jnp.ones(n, bool),
+        in_medium=jnp.zeros(n, bool),
+        med_color=jnp.ones((n, 3), jnp.float32),
+        med_density=jnp.zeros(n, jnp.float32),
+        med_aniso=jnp.zeros(n, jnp.float32),
+        iter=jnp.int32(0),
+    )
+
+    max_iters = flags.max_depth + flags.max_medium_events
+
+    def cond(c):
+        return jnp.logical_and(c["iter"] < max_iters, jnp.any(c["alive"]))
+
+    def body(c):
+        state = c["state"]
+        origin = c["origin"]
+        direction = c["direction"]
+        alive = c["alive"]
+        depth = c["depth"]
+
+        hit = trace(scene, meta, origin, direction, alive)
+        hit_found = hit.t >= 0.0
+        missed = alive & ~hit_found
+        surf_lanes = alive & hit_found
+
+        emitted = jnp.zeros((n, 3), jnp.float32)
+
+        # ------------------------------------------------------------------
+        # Miss shading (Miss.slang:8-77)
+        env_rgba = lights.env_radiance(
+            scene.env.image, direction, params.sky_rotation_azimuth, params.sky_rotation_altitude
+        )
+        env_rgb = env_rgba[:, :3] * params.environment_intensity
+        if not flags.show_env_map_directly:
+            env_rgb = jnp.where((depth == 0)[:, None], 0.0, env_rgb)
+        if flags.furnace_test_mode:
+            env_rgb = jnp.ones_like(env_rgb)
+        if flags.enable_sky_mis:
+            mis_w = jnp.where(depth > 0, power_heuristic(c["prev_pdf"], env_rgba[:, 3]), 1.0)
+            env_rgb = env_rgb * mis_w[:, None]
+        emitted = jnp.where(missed[:, None], env_rgb, emitted)
+
+        # ------------------------------------------------------------------
+        # In-medium walk (ClosestHit.slang:80-116)
+        geom_dist = jnp.where(hit_found, hit.t, traverse.T_MAX)
+        state, scat_d = sampling.sample_scatter_distance(
+            state, jnp.maximum(c["med_density"], 1e-20)
+        )
+        walk_lanes = surf_lanes & c["in_medium"]
+        med_scatter = walk_lanes & (c["med_aniso"] != 1.0) & (scat_d < geom_dist)
+        state, med_dir = sampling.sample_henyey_greenstein(state, direction, c["med_aniso"])
+        # Beer's-law shortcut when anisotropy == 1 (straight path through the
+        # medium); applied multiplicatively at the exit surface.
+        beer = jnp.exp(
+            -(1.0 - c["med_color"]) * (c["med_density"] * geom_dist)[:, None]
+        )
+        beer_lanes = walk_lanes & (c["med_aniso"] == 1.0)
+
+        shade = surf_lanes & ~med_scatter
+
+        # ------------------------------------------------------------------
+        # Surface + material (Surface.slang / Material.slang)
+        safe_hit = traverse.Hit(
+            t=hit.t,
+            tri=jnp.clip(hit.tri, 0, scene.tri_p0.shape[0] - 1),
+            u=hit.u,
+            v=hit.v,
+        )
+        surf = surface_mod.make_surface(scene, safe_hit, direction, flags.use_only_geometry_normals)
+        props = bsdf_mod.make_material(
+            scene, surf.mat_id, surf.uv, surf.hit_from_inside, flags.furnace_test_mode
+        )
+        surf = surface_mod.rotate_tangents(surf, props.anisotropy_rotation)
+        is_light = jnp.any(props.emissive_color > 0.0, axis=-1)
+
+        v_world = -direction
+        v_tan = surface_mod.world_to_tangent(surf, v_world)
+
+        # ------------------------------------------------------------------
+        # NEE sampling (sky + emissive mesh), one batched shadow traversal
+        if flags.enable_sky_mis:
+            if flags.enable_atmosphere:
+                state, to_sky, sky_rgb, sky_pdf = lights.sample_sun_disk(
+                    state, params.sun_color, params.environment_intensity,
+                    params.sky_rotation_azimuth, params.sky_rotation_altitude, (n,),
+                )
+            else:
+                state, to_sky, sky_rgba = lights.importance_sample_env(
+                    state, scene.env, params.sky_rotation_azimuth,
+                    params.sky_rotation_altitude, (n,),
+                )
+                sky_rgb = sky_rgba[:, :3] * params.environment_intensity
+                sky_pdf = sky_rgba[:, 3]
+            # ClosestHit.slang:133 multiplies intensity again on top of the
+            # sampler's own multiply — reproduced for parity.
+            sky_rgb = sky_rgb * params.environment_intensity
+        else:
+            to_sky = jnp.zeros((n, 3), jnp.float32)
+            sky_rgb = jnp.zeros((n, 3), jnp.float32)
+            sky_pdf = jnp.zeros(n, jnp.float32)
+
+        use_mesh_nee = flags.enable_mesh_mis and meta.n_emissive > 0
+        if use_mesh_nee:
+            (state, to_light, light_rgb, light_pdf, light_tri, light_inst) = (
+                lights.sample_emissive_triangle(state, scene, surf.world_pos, meta.n_emissive)
+            )
+        else:
+            to_light = jnp.zeros((n, 3), jnp.float32)
+            light_rgb = jnp.zeros((n, 3), jnp.float32)
+            light_pdf = jnp.zeros(n, jnp.float32)
+            light_tri = jnp.full(n, -1, jnp.int32)
+            light_inst = jnp.full(n, -1, jnp.int32)
+
+        need_sky = shade & jnp.bool_(flags.enable_sky_mis)
+        need_light = shade & jnp.bool_(use_mesh_nee) & ~is_light & (light_pdf > 0.0)
+        sky_org = surf.world_pos + surf.normal * 1e-5
+        light_org = surf.world_pos + to_light * 1e-2
+        shadow_org = jnp.concatenate([sky_org, light_org])
+        shadow_dir = jnp.concatenate([to_sky, to_light])
+        shadow_active = jnp.concatenate([need_sky, need_light])
+        shadow_hit = trace(scene, meta, shadow_org, shadow_dir, shadow_active)
+        sky_blocked = shadow_hit.t[:n] >= 0.0
+        lh_slot = jnp.clip(shadow_hit.tri[n:], 0, scene.tri_p0.shape[0] - 1)
+        light_visible = (
+            (shadow_hit.t[n:] >= 0.0)
+            & (scene.tri_local[lh_slot] == light_tri)
+            & (scene.tri_inst[lh_slot] == light_inst)
+        )
+        can_hit_sky = need_sky & ~sky_blocked
+        can_hit_light = need_light & light_visible
+
+        # ------------------------------------------------------------------
+        # BSDF sampling (ClosestHit.slang:191-238)
+        state, h_tan = sampling.sample_ggx_vndf(state, v_tan, props.ax, props.ay)
+        state, l_tan, bxdf_s, pdf_s, _comp = bsdf_mod.sample_bsdf(
+            state, props, scene, v_tan, h_tan, flags.use_energy_compensation
+        )
+        was_refracted = l_tan[:, 2] < 0.0
+        scatter_world = surface_mod.tangent_to_world(surf, l_tan)
+        leak = ~was_refracted & (dot(scatter_world, surf.geom_normal) < 0.0)
+        pdf_s = jnp.where(leak, 0.0, pdf_s)
+        bxdf_s = jnp.where(leak[:, None], 0.0, bxdf_s)
+
+        # Medium enter/exit on refraction (ClosestHit.slang:227-238)
+        entering = shade & was_refracted & ~surf.hit_from_inside
+        exiting = shade & was_refracted & surf.hit_from_inside
+        in_medium = jnp.where(entering, True, jnp.where(exiting, False, c["in_medium"]))
+        med_color = jnp.where(entering[:, None], props.medium_color, c["med_color"])
+        med_density = jnp.where(entering, props.medium_density, c["med_density"])
+        med_aniso = jnp.where(entering, props.medium_anisotropy, c["med_aniso"])
+
+        # ------------------------------------------------------------------
+        # NEE evaluation (ClosestHit.slang:240-256, 326-372)
+        if flags.enable_sky_mis:
+            sky_tan = surface_mod.world_to_tangent(surf, to_sky)
+            sky_bxdf, sky_eval_pdf = bsdf_mod.evaluate_bsdf(
+                props, scene, v_tan, sky_tan, flags.use_energy_compensation
+            )
+            sky_ok = can_hit_sky & (sky_pdf > 0.0) & (sky_eval_pdf > 0.0)
+            sky_contrib = (
+                sky_bxdf * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
+                * power_heuristic(sky_pdf, sky_eval_pdf)[:, None]
+            )
+            emitted = emitted + jnp.where(sky_ok[:, None], sky_contrib, 0.0)
+
+        if use_mesh_nee:
+            light_tan = surface_mod.world_to_tangent(surf, to_light)
+            l_bxdf, l_eval_pdf = bsdf_mod.evaluate_bsdf(
+                props, scene, v_tan, light_tan, flags.use_energy_compensation
+            )
+            l_ok = can_hit_light & (light_pdf > 0.0) & (l_eval_pdf > 0.0) & ~is_light
+            l_contrib = (
+                l_bxdf * light_rgb / jnp.maximum(light_pdf, 1e-20)[:, None]
+                * power_heuristic(light_pdf, l_eval_pdf)[:, None]
+            )
+            emitted = emitted + jnp.where(l_ok[:, None], l_contrib, 0.0)
+
+        # ------------------------------------------------------------------
+        # Emissive surface hit (direct + MIS; ClosestHit.slang:265-317)
+        if flags.enable_mesh_mis:
+            direct = shade & (depth == 0) & is_light
+            emitted = emitted + jnp.where(direct[:, None], props.emissive_color, 0.0)
+
+            bsdf_hit_light = shade & (depth > 0) & is_light
+            dist_sq = dot(surf.world_pos - origin, surf.world_pos - origin)
+            cos_t = jnp.abs(dot(surf.normal, normalize(origin - surf.world_pos)))
+            entry = scene.emissive.inst_to_entry[jnp.clip(surf.instance, 0, None)]
+            tcount = jnp.where(
+                entry >= 0, scene.emissive.tri_count[jnp.maximum(entry, 0)], 1
+            ).astype(jnp.float32)
+            em_total = jnp.float32(max(meta.n_emissive, 1))
+            light_sampling_pdf = (
+                (1.0 / em_total)
+                * (1.0 / tcount)
+                * (1.0 / jnp.maximum(surf.area, 1e-20))
+                * (dist_sq / jnp.maximum(cos_t, 1e-20))
+            )
+            light_sampling_pdf = jnp.maximum(light_sampling_pdf, params.emissive_pdf_bias)
+            mis_emit = props.emissive_color * power_heuristic(c["prev_pdf"], light_sampling_pdf)[:, None]
+            emitted = emitted + jnp.where(bsdf_hit_light[:, None], mis_emit, 0.0)
+        else:
+            emitted = emitted + jnp.where(shade[:, None], props.emissive_color, 0.0)
+
+        # ------------------------------------------------------------------
+        # Contribution + firefly clamp (RayGen.slang:92-102)
+        contribution = emitted * c["throughput"]
+        no_clamp = (depth == 0) & surf_lanes  # depth becomes 1 -> unclamped
+        lum = luminance(contribution)
+        scale = params.max_luminance / jnp.maximum(lum, params.max_luminance)
+        contribution = jnp.where(no_clamp[:, None], contribution, contribution * scale[:, None])
+        radiance = c["radiance"] + jnp.where(alive[:, None], contribution, 0.0)
+
+        # ------------------------------------------------------------------
+        # Throughput update (RayGen.slang:103) + event bookkeeping
+        invalid = shade & (pdf_s <= 0.0)
+        factor = jnp.ones((n, 3), jnp.float32)
+        factor = jnp.where(
+            shade[:, None], bxdf_s / jnp.maximum(pdf_s, 1e-20)[:, None], factor
+        )
+        factor = jnp.where(beer_lanes[:, None], factor * beer, factor)
+        factor = jnp.where(med_scatter[:, None], c["med_color"], factor)
+        throughput = c["throughput"] * jnp.where(alive[:, None], factor, 1.0)
+
+        new_origin = jnp.where(
+            shade[:, None],
+            surf.world_pos
+            + surf.normal * jnp.where(was_refracted, -1e-3, 1e-3)[:, None],
+            origin,
+        )
+        new_origin = jnp.where(
+            med_scatter[:, None], origin + direction * scat_d[:, None], new_origin
+        )
+        new_direction = jnp.where(shade[:, None], scatter_world, direction)
+        new_direction = jnp.where(med_scatter[:, None], med_dir, new_direction)
+
+        prev_pdf = jnp.where(shade, pdf_s, jnp.where(med_scatter, 1.0, c["prev_pdf"]))
+        depth = depth + jnp.where(shade, 1, 0)  # medium events don't age the path
+        alive = alive & ~missed & ~invalid & (depth < flags.max_depth)
+
+        # ------------------------------------------------------------------
+        # Russian roulette (RayGen.slang:105-113)
+        p = jnp.minimum(jnp.max(throughput, axis=-1), 1.0)
+        state, u_rr = rng.next_float(state)
+        rr_kill = alive & (p < u_rr)
+        alive = alive & ~rr_kill
+        throughput = jnp.where(
+            alive[:, None], throughput / jnp.maximum(p, 1e-20)[:, None], throughput
+        )
+
+        return dict(
+            state=state,
+            origin=new_origin,
+            direction=normalize(new_direction),
+            throughput=throughput,
+            radiance=radiance,
+            prev_pdf=prev_pdf,
+            depth=depth,
+            alive=alive,
+            in_medium=in_medium,
+            med_color=med_color,
+            med_density=med_density,
+            med_aniso=med_aniso,
+            iter=c["iter"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    radiance = out["radiance"]
+    # Per-path NaN/Inf rejection (RayGen.slang:116)
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+    return jnp.where(finite[:, None], radiance, 0.0)
+
+
+def render_samples(
+    scene, meta, flags: RenderFlags, params: RenderParams,
+    pixel_xy, pixel_index, resolution, frame_seed, n_samples: int,
+):
+    """Average `n_samples` independent paths per pixel (RayGen.slang:33-130)."""
+
+    def body(i, acc):
+        sample_seed = rng.pcg_hash(jnp.uint32(frame_seed) + jnp.uint32(i) * jnp.uint32(0x85EBCA6B))
+        r = path_trace_sample(
+            scene, meta, flags, params, pixel_xy, pixel_index, resolution, sample_seed
+        )
+        return acc + r
+
+    acc = jax.lax.fori_loop(
+        0, n_samples, body, jnp.zeros((pixel_xy.shape[0], 3), jnp.float32)
+    )
+    return acc / n_samples
+
+
+def accumulate_ewma(prev_color, new_color, frame_count):
+    """Progressive accumulation color = lerp(prev, new, 1/(n+1))
+    (RayGen.slang:132-141)."""
+    a = 1.0 / (jnp.asarray(frame_count, jnp.float32) + 1.0)
+    return prev_color + (new_color - prev_color) * a

@@ -1,0 +1,196 @@
+"""Procedural test scenes: quads, boxes, spheres, the Cornell box.
+
+Used by unit/golden tests and benchmarks so nothing depends on external
+assets.  Mirrors the classic Cornell layout used by the reference's bundled
+Assets/CornellBox.gltf (white walls, red/green sides, area light).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fix_winding(positions, normals, indices):
+    """Make triangle winding agree with vertex normals, so that
+    cross(v1-v0, v2-v0) points along the surface normal.  The renderer
+    derives inside/outside (and thus the relative IOR) from the geometric
+    normal exactly like the reference (Surface.slang:48-76), so wrong
+    winding silently flips every dielectric interface."""
+    idx = np.asarray(indices).reshape(-1, 3).copy()
+    v0 = positions[idx[:, 0]]
+    e1 = positions[idx[:, 1]] - v0
+    e2 = positions[idx[:, 2]] - v0
+    face_n = np.cross(e1, e2)
+    avg_n = normals[idx[:, 0]] + normals[idx[:, 1]] + normals[idx[:, 2]]
+    flip = (face_n * avg_n).sum(-1) < 0
+    idx[flip] = idx[flip][:, [0, 2, 1]]
+    return idx.reshape(-1).astype(np.uint32)
+
+from vpt_tpu.core.camera import look_at
+from vpt_tpu.scene.types import Instance, Material, Mesh, Scene, default_textures
+
+
+def make_quad(p0, p1, p2, p3) -> Mesh:
+    """Two-triangle quad; vertices CCW when viewed against the face normal."""
+    pos = np.array([p0, p1, p2, p3], np.float32)
+    e1 = pos[1] - pos[0]
+    e2 = pos[3] - pos[0]
+    n = np.cross(e1, e2)
+    n = n / np.linalg.norm(n)
+    normals = np.tile(n, (4, 1)).astype(np.float32)
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return Mesh(pos, normals, uvs, indices, name="quad")
+
+
+def make_box(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0)) -> Mesh:
+    """Axis-aligned box with outward normals."""
+    sx, sy, sz = (s / 2.0 for s in size)
+    cx, cy, cz = center
+    faces = []
+    # (origin, u-axis, v-axis) per face, outward normal = u × v
+    face_defs = [
+        ((-sx, -sy, sz), (2 * sx, 0, 0), (0, 2 * sy, 0)),  # +z
+        ((sx, -sy, -sz), (-2 * sx, 0, 0), (0, 2 * sy, 0)),  # -z
+        ((sx, -sy, sz), (0, 0, -2 * sz), (0, 2 * sy, 0)),  # +x
+        ((-sx, -sy, -sz), (0, 0, 2 * sz), (0, 2 * sy, 0)),  # -x
+        ((-sx, sy, sz), (2 * sx, 0, 0), (0, 0, -2 * sz)),  # +y
+        ((-sx, -sy, -sz), (2 * sx, 0, 0), (0, 0, 2 * sz)),  # -y
+    ]
+    positions, normals, uvs, indices = [], [], [], []
+    for f, (o, u, v) in enumerate(face_defs):
+        o = np.array(o, np.float32)
+        u = np.array(u, np.float32)
+        v = np.array(v, np.float32)
+        n = np.cross(u, v)
+        n = n / np.linalg.norm(n)
+        base = len(positions)
+        for corner in [o, o + u, o + u + v, o + v]:
+            positions.append(corner + np.array([cx, cy, cz], np.float32))
+            normals.append(n)
+        uvs += [[0, 0], [1, 0], [1, 1], [0, 1]]
+        indices += [base, base + 1, base + 2, base, base + 2, base + 3]
+    return Mesh(
+        np.array(positions, np.float32),
+        np.array(normals, np.float32),
+        np.array(uvs, np.float32),
+        np.array(indices, np.uint32),
+        name="box",
+    )
+
+
+def make_uv_sphere(radius=1.0, center=(0, 0, 0), n_lat=16, n_lon=32) -> Mesh:
+    lat = np.linspace(0.0, np.pi, n_lat + 1)
+    lon = np.linspace(0.0, 2 * np.pi, n_lon + 1)
+    th, ph = np.meshgrid(lat, lon, indexing="ij")
+    x = np.sin(th) * np.cos(ph)
+    y = np.cos(th)
+    z = np.sin(th) * np.sin(ph)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    normals = pts.copy()
+    positions = pts * radius + np.asarray(center, np.float32)
+    uv = np.stack([ph / (2 * np.pi), th / np.pi], axis=-1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    stride = n_lon + 1
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * stride + j
+            b = a + 1
+            c = a + stride
+            d = c + 1
+            if i > 0:
+                idx += [a, c, b]
+            if i < n_lat - 1:
+                idx += [b, c, d]
+    indices = _fix_winding(positions, normals, np.array(idx, np.uint32))
+    return Mesh(positions, normals, uv, indices, name="sphere")
+
+
+def cornell_box(
+    light_emission=(15.0, 15.0, 15.0),
+    with_boxes=True,
+    box_materials=None,
+) -> Scene:
+    """Classic Cornell box in [-1,1]^3 with an area light near the ceiling.
+
+    Camera at z=3.9 looking down -Z (matching the look of the reference's
+    bundled CornellBox.gltf renders).
+    """
+    white = Material(name="white", base_color=(0.73, 0.73, 0.73))
+    red = Material(name="red", base_color=(0.65, 0.05, 0.05))
+    green = Material(name="green", base_color=(0.12, 0.45, 0.15))
+    light = Material(name="light", base_color=(0.78, 0.78, 0.78), emissive_color=tuple(light_emission))
+    materials = [white, red, green, light]
+
+    meshes = []
+    instances = []
+
+    def add(mesh, mat_idx, name):
+        meshes.append(mesh)
+        instances.append(Instance(mesh=len(meshes) - 1, material=mat_idx, transform=np.eye(4, dtype=np.float32), name=name))
+
+    # Floor (+y normal), ceiling (-y), back wall (+z normal faces camera)
+    add(make_quad((-1, -1, -1), (1, -1, -1), (1, -1, 1), (-1, -1, 1)), 0, "floor")
+    add(make_quad((-1, 1, 1), (1, 1, 1), (1, 1, -1), (-1, 1, -1)), 0, "ceiling")
+    add(make_quad((-1, -1, -1), (-1, 1, -1), (1, 1, -1), (1, -1, -1)), 0, "back")
+    add(make_quad((-1, -1, 1), (-1, -1, -1), (-1, 1, -1), (-1, 1, 1)), 1, "left-red")
+    add(make_quad((1, -1, -1), (1, -1, 1), (1, 1, 1), (1, 1, -1)), 2, "right-green")
+    # Light: small quad just below the ceiling, facing down.
+    s = 0.35
+    y = 0.999
+    add(make_quad((-s, y, s), (s, y, s), (s, y, -s), (-s, y, -s)), 3, "light")
+
+    if with_boxes:
+        bm = box_materials or (0, 0)
+        tall = make_box((0.55, 1.1, 0.55))
+        t = np.eye(4, dtype=np.float32)
+        ang = np.radians(18.0)
+        rot = np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]], np.float32
+        )
+        t[:3, :3] = rot
+        t[:3, 3] = [-0.35, -0.45, -0.35]
+        meshes.append(tall)
+        instances.append(Instance(mesh=len(meshes) - 1, material=bm[0], transform=t, name="tall-box"))
+
+        short = make_box((0.55, 0.55, 0.55))
+        t2 = np.eye(4, dtype=np.float32)
+        ang2 = np.radians(-17.0)
+        rot2 = np.array(
+            [[np.cos(ang2), 0, np.sin(ang2)], [0, 1, 0], [-np.sin(ang2), 0, np.cos(ang2)]], np.float32
+        )
+        t2[:3, :3] = rot2
+        t2[:3, 3] = [0.35, -0.725, 0.3]
+        meshes.append(short)
+        instances.append(Instance(mesh=len(meshes) - 1, material=bm[1], transform=t2, name="short-box"))
+
+    view = look_at((0.0, 0.0, 3.9), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    return Scene(
+        meshes=meshes,
+        instances=instances,
+        materials=materials,
+        textures=default_textures(),
+        camera_view=view,
+        camera_fov_deg=40.0,
+        camera_aspect=1.0,
+        name="cornell",
+    )
+
+
+def furnace_sphere(albedo=1.0, sky=1.0) -> Scene:
+    """A single sphere under a uniform environment — the furnace test scene."""
+    sphere = make_uv_sphere(radius=1.0, n_lat=16, n_lon=32)
+    mat = Material(name="furnace", base_color=(albedo,) * 3, roughness=1.0)
+    env = np.full((16, 32, 3), sky, np.float32)
+    view = look_at((0.0, 0.0, 4.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    return Scene(
+        meshes=[sphere],
+        instances=[Instance(mesh=0, material=0, transform=np.eye(4, dtype=np.float32))],
+        materials=[mat],
+        textures=default_textures(),
+        camera_view=view,
+        camera_fov_deg=45.0,
+        camera_aspect=1.0,
+        env_map=env,
+        name="furnace",
+    )

@@ -1,0 +1,221 @@
+"""Host-side scene description and the device-resident SceneData pytree.
+
+The reference keeps scenes as Vulkan objects (vertex/index buffers, BLAS/TLAS,
+bindless texture arrays, material SSBO — PathTracer.cpp:158-676).  Here a
+scene is:
+
+* `Scene` — host description: meshes, instances, materials, camera, env map
+  (what you edit / load from glTF);
+* `SceneData` — a NamedTuple-of-arrays pytree uploaded to HBM, with
+  world-space flattened triangles reordered for the BVH, the flattened BVH
+  itself, the material table SoA, the emissive-NEE table, the env map +
+  alias map, and the texture atlas.  Everything jit-traceable.
+
+Static shape metadata lives in `SceneMeta` (hashable, passed as a static arg).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Host types
+
+
+@dataclasses.dataclass
+class Material:
+    """Mirrors PathTracer::Material (PathTracer.h:12-34)."""
+
+    name: str = "material"
+    base_color: tuple = (1.0, 1.0, 1.0)
+    emissive_color: tuple = (0.0, 0.0, 0.0)
+    specular_color: tuple = (1.0, 1.0, 1.0)
+    medium_color: tuple = (1.0, 1.0, 1.0)
+    medium_emissive_color: tuple = (0.0, 0.0, 0.0)
+    metallic: float = 0.0
+    roughness: float = 1.0
+    ior: float = 1.5
+    transmission: float = 0.0
+    anisotropy: float = 0.0
+    anisotropy_rotation: float = 0.0
+    medium_density: float = 0.0
+    medium_anisotropy: float = 0.0
+    base_color_texture: int = 0  # indices into the scene texture list
+    normal_texture: int = 1
+    roughness_texture: int = 2
+    metallic_texture: int = 2
+    emissive_texture: int = 2
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Indexed triangle mesh, P3/N3/UV2 like the reference's vertex format."""
+
+    positions: np.ndarray  # (V, 3) f32
+    normals: np.ndarray  # (V, 3) f32
+    uvs: np.ndarray  # (V, 2) f32
+    indices: np.ndarray  # (I,) u32, triples
+    name: str = "mesh"
+
+    @property
+    def n_tris(self) -> int:
+        return int(self.indices.shape[0] // 3)
+
+
+@dataclasses.dataclass
+class Instance:
+    mesh: int  # index into Scene.meshes
+    material: int  # index into Scene.materials
+    transform: np.ndarray  # (4, 4) f32 object->world
+    name: str = "instance"
+
+
+@dataclasses.dataclass
+class Scene:
+    meshes: list
+    instances: list
+    materials: list
+    textures: list  # list of (H, W, 4) float32 arrays in [0,1]; slots 0/1/2 are
+    # the defaults: white, flat normal, white (matching the reference's
+    # LoadDefaultTexture fallbacks)
+    camera_view: Optional[np.ndarray] = None  # (4,4) view matrix
+    camera_fov_deg: float = 45.0
+    camera_aspect: float = 16.0 / 9.0
+    env_map: Optional[np.ndarray] = None  # (H, W, >=3) float32 radiance
+    name: str = "scene"
+
+    def __post_init__(self):
+        if not self.textures:
+            self.textures = default_textures()
+
+
+def default_textures():
+    """Slot 0: white RGBA, slot 1: flat normal, slot 2: white single-channel."""
+    white = np.ones((1, 1, 4), np.float32)
+    flat_normal = np.tile(np.array([0.5, 0.5, 1.0, 1.0], np.float32), (1, 1, 1))
+    return [white, flat_normal, white.copy()]
+
+
+# ---------------------------------------------------------------------------
+# Device pytrees
+
+
+class MaterialTable(NamedTuple):
+    base_color: jnp.ndarray  # (M, 3)
+    emissive_color: jnp.ndarray  # (M, 3)
+    specular_color: jnp.ndarray  # (M, 3)
+    medium_color: jnp.ndarray  # (M, 3)
+    medium_emissive_color: jnp.ndarray  # (M, 3)
+    metallic: jnp.ndarray  # (M,)
+    roughness: jnp.ndarray
+    ior: jnp.ndarray
+    transmission: jnp.ndarray
+    anisotropy: jnp.ndarray
+    anisotropy_rotation: jnp.ndarray
+    medium_density: jnp.ndarray
+    medium_anisotropy: jnp.ndarray
+    base_color_texture: jnp.ndarray  # (M,) i32
+    normal_texture: jnp.ndarray
+    roughness_texture: jnp.ndarray
+    metallic_texture: jnp.ndarray
+    emissive_texture: jnp.ndarray
+
+
+class BVHData(NamedTuple):
+    nodes_min: jnp.ndarray  # (NN, 3)
+    nodes_max: jnp.ndarray
+    node_first: jnp.ndarray  # (NN,) i32
+    node_count: jnp.ndarray
+    node_skip: jnp.ndarray
+
+
+class EnvMapData(NamedTuple):
+    image: jnp.ndarray  # (H, W, 4) f32; alpha = sampling PDF (max(RGB)/sum)
+    alias_index: jnp.ndarray  # (H*W,) i32
+    alias_importance: jnp.ndarray  # (H*W,) f32
+
+
+class EmissiveTable(NamedTuple):
+    """NEE table over emissive instances (reference: uEmissiveMeshes b19)."""
+
+    instance: jnp.ndarray  # (EM,) i32
+    material: jnp.ndarray  # (EM,) i32
+    tri_count: jnp.ndarray  # (EM,) i32
+    offset: jnp.ndarray  # (EM,) i32 into slot_table
+    slot_table: jnp.ndarray  # (sum tri_count,) i32 — reordered global tri slots
+    inst_to_entry: jnp.ndarray  # (n_instances,) i32, -1 when not emissive
+
+
+class VolumeTable(NamedTuple):
+    """AABB participating media (reference: VolumeGPU, PathTracer.h:341-400)."""
+
+    corner_min: jnp.ndarray  # (NV, 3)
+    corner_max: jnp.ndarray  # (NV, 3)
+    color: jnp.ndarray  # (NV, 3)
+    emissive_color: jnp.ndarray  # (NV, 3)
+    temperature_color: jnp.ndarray  # (NV, 3)
+    density: jnp.ndarray  # (NV,)
+    anisotropy: jnp.ndarray
+    alpha: jnp.ndarray
+    droplet_size: jnp.ndarray
+    density_grid_index: jnp.ndarray  # (NV,) i32; -1 = homogeneous
+    max_density: jnp.ndarray  # (NV,)
+    use_blackbody: jnp.ndarray  # (NV,) i32
+    has_temperature: jnp.ndarray  # (NV,) i32
+    temperature_gamma: jnp.ndarray
+    temperature_scale: jnp.ndarray
+    emissive_color_gamma: jnp.ndarray
+    kelvin_min: jnp.ndarray
+    kelvin_max: jnp.ndarray
+    approx_cloud_scattering: jnp.ndarray  # (NV,) i32
+    approx_scattering_falloff: jnp.ndarray
+    grid_sharpness: jnp.ndarray
+    # Dense density/temperature bricks for heterogeneous volumes:
+    density_grids: jnp.ndarray  # (G, D, H, W) f32 (G may be 0)
+    temperature_grids: jnp.ndarray  # (G, D, H, W) f32
+    max_density_blocks: jnp.ndarray  # (G, 32, 32, 32) f32 empty-space skipping
+
+
+class SceneData(NamedTuple):
+    # Triangles, world space, BVH-reordered, padded by LEAF_SIZE degenerates.
+    tri_p0: jnp.ndarray  # (T', 3)
+    tri_e1: jnp.ndarray  # (T', 3)  v1 - v0
+    tri_e2: jnp.ndarray  # (T', 3)  v2 - v0
+    tri_n0: jnp.ndarray  # (T', 3) world-space vertex normals
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T', 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (T',) i32
+    tri_local: jnp.ndarray  # (T',) i32 PrimitiveIndex within the mesh
+    tri_inst: jnp.ndarray  # (T',) i32 instance id
+    bvh: BVHData
+    materials: MaterialTable
+    emissive: EmissiveTable
+    env: EnvMapData
+    textures: jnp.ndarray  # (K, TH, TW, 4) f32, zero-padded to common extent
+    texture_dims: jnp.ndarray  # (K, 2) i32 true (height, width) per texture
+    volumes: VolumeTable
+    lookup_reflect: jnp.ndarray  # (32, 64, 64) f32 [layer, rough(v), v.z(u)]
+    lookup_refract_out: jnp.ndarray  # (32, 128, 128) f32
+    lookup_refract_in: jnp.ndarray  # (32, 128, 128) f32
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Hashable static scene facts (jit static arg)."""
+
+    n_tris: int
+    n_instances: int
+    n_materials: int
+    n_emissive: int
+    n_volumes: int
+    n_het_volumes: int
+    use_brute_force: bool  # small scene: skip BVH, test all triangles
+    name: str = "scene"
