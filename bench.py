@@ -1,0 +1,85 @@
+"""Benchmark: path segments/sec on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 200M path segments/sec/chip (BASELINE.json north star).
+
+Scene: sphere_garden (~100k triangles, mixed diffuse/metal/glossy/glass,
+HDR-style sky with a sun hotspot) — a BVH-scale stand-in for Sponza.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SEGMENTS_PER_SEC = 200e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.api import _render_step
+    from vpt_tpu.core.camera import perspective
+    from vpt_tpu.render.params import RenderFlags, default_params
+    from vpt_tpu.scene.build import compile_scene
+    from vpt_tpu.scene.procedural import sphere_garden
+
+    scene = sphere_garden()
+    data, meta, aux = compile_scene(scene)
+    view = aux["camera_view"]
+    width = height = 512
+    proj = perspective(np.radians(aux["camera_fov_deg"]), width / height)
+    params = default_params(np.linalg.inv(view), np.linalg.inv(proj))
+    flags = RenderFlags(max_depth=8, max_medium_events=8)
+
+    spp_per_dispatch = 8
+    accum = jnp.zeros((height, width, 3), jnp.float32)
+
+    # Warmup / compile
+    out, segs = _render_step(
+        data, meta, flags, params, jnp.uint32(1), (width, height), accum,
+        jnp.int32(0), spp_per_dispatch,
+    )
+    out.block_until_ready()
+
+    # Timed dispatches
+    n_dispatch = 5
+    t0 = time.perf_counter()
+    total_segments = 0.0
+    for i in range(n_dispatch):
+        out, segs = _render_step(
+            data, meta, flags, params, jnp.uint32(2 + i), (width, height), out,
+            jnp.int32(1 + i), spp_per_dispatch,
+        )
+        out.block_until_ready()
+        total_segments += float(segs)
+    elapsed = time.perf_counter() - t0
+
+    value = total_segments / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "path_segments_per_sec_per_chip",
+                "value": value,
+                "unit": "segments/s",
+                "vs_baseline": value / BASELINE_SEGMENTS_PER_SEC,
+                "detail": {
+                    "scene": "sphere_garden",
+                    "n_tris": meta.n_tris,
+                    "resolution": [width, height],
+                    "spp_per_dispatch": spp_per_dispatch,
+                    "dispatches": n_dispatch,
+                    "elapsed_s": round(elapsed, 3),
+                    "total_segments": total_segments,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,19 +41,32 @@ class PostSettings:
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 5, 8))
-def _render_step(scene_data, meta, flags, params, frame_seed, resolution, accum, frame_count, n_samples):
-    """One progressive dispatch: n_samples new paths/pixel, EWMA'd into accum."""
+def _render_step(
+    scene_data, meta, flags, params, frame_seed, resolution, accum, frame_count,
+    n_samples, pixel_xy=None, pixel_index=None, scatter=None,
+):
+    """One progressive dispatch: n_samples new paths/pixel, EWMA'd into accum.
+
+    Rays are laid out in 8x8 screen tiles (vpt_tpu.core.tiling) so the
+    intersector's 64-ray packets are coherent; `scatter` maps them back to
+    row-major pixels.
+    """
+    from vpt_tpu.core.tiling import scatter_to_image, tiled_pixel_order
+
     width, height = resolution
-    ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
-    pixel_xy = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(jnp.float32)
-    # Reference RNG seeding uses y + width*x (RayGen.slang:28).
-    pixel_index = (ys.reshape(-1) + width * xs.reshape(-1)).astype(jnp.uint32)
-    radiance = integrator.render_samples(
+    if pixel_xy is None:
+        pxy, pidx, sct, padded = tiled_pixel_order(width, height)
+        pixel_xy = jnp.asarray(pxy)
+        pixel_index = jnp.asarray(pidx)
+        scatter = jnp.asarray(sct)
+    else:
+        padded = (-(-width // 8) * 8, -(-height // 8) * 8)
+    radiance, segments = integrator.render_samples(
         scene_data, meta, flags, params, pixel_xy, pixel_index, resolution, frame_seed, n_samples
     )
-    new = radiance.reshape(height, width, 3)
+    new = scatter_to_image(radiance, scatter, padded, width, height)
     out = integrator.accumulate_ewma(accum, new, frame_count)
-    return out
+    return out, segments
 
 
 class Renderer:
@@ -102,6 +115,7 @@ class Renderer:
         self.samples_accumulated = 0
         self._seed_counter = 0
         self.render_seconds = 0.0
+        self.segments_traced = 0.0
 
     # ------------------------------------------------------------------ core
 
@@ -110,6 +124,7 @@ class Renderer:
         self.frame_count = 0
         self.samples_accumulated = 0
         self.render_seconds = 0.0
+        self.segments_traced = 0.0
 
     reset_accumulation = reset_path_tracing
 
@@ -121,7 +136,7 @@ class Renderer:
         t0 = time.perf_counter()
         self._seed_counter += 1
         seed = np.uint32((self._seed_counter * 2654435761) & 0xFFFFFFFF)
-        self._accum = _render_step(
+        self._accum, segments = _render_step(
             self.scene_data,
             self.meta,
             self.flags,
@@ -133,6 +148,7 @@ class Renderer:
             self.samples_per_frame,
         )
         self._accum.block_until_ready()
+        self.segments_traced += float(segments)
         self.render_seconds += time.perf_counter() - t0
         self.frame_count += 1
         self.samples_accumulated += self.samples_per_frame

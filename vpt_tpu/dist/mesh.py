@@ -1,0 +1,168 @@
+"""Multi-chip rendering: shard the pixel×spp wavefront over an ICI mesh.
+
+The reference is single-GPU; its only "scaling" levers are split-screen
+chunking and per-frame sample batching (SURVEY §2.4).  Here scaling is a
+first-class component: a 2D `jax.sharding.Mesh` with axes
+
+* ``tile`` — pixels are partitioned across this axis (each chip owns a pixel
+  strip; no communication needed),
+* ``spp``  — samples are partitioned across this axis and reduced with a
+  `psum`-mean over ICI (the distributed analogue of the reference's
+  progressive accumulation, RayGen.slang:132-141).
+
+Determinism: RNG seeds are a pure function of (pixel index, sample index),
+with sample indices offset by the chip's ``spp`` coordinate — so an
+``(T, S)`` mesh render draws exactly the sample set of a single-chip render
+with T·S× the per-chip work, and results are independent of the mesh shape
+in expectation.
+
+The scene is fully replicated (it is read-only; Sponza-scale scene data is
+~100 MB, far below per-chip HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vpt_tpu.core import rng as rng_mod
+from vpt_tpu.render import integrator
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None, tile: int | None = None, spp: int = 1) -> Mesh:
+    """Build a (tile, spp) device mesh.  Defaults: all devices on the tile axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tile is None:
+        tile = n // spp
+    assert tile * spp == n, f"mesh {tile}x{spp} != {n} devices"
+    arr = np.array(devices).reshape(tile, spp)
+    return Mesh(arr, ("tile", "spp"))
+
+
+def pixel_grid(width: int, height: int):
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    pixel_xy = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.float32)
+    pixel_index = (ys.reshape(-1) + width * xs.reshape(-1)).astype(np.uint32)
+    return pixel_xy, pixel_index
+
+
+def render_sharded(
+    scene_data,
+    meta,
+    flags,
+    params,
+    resolution,
+    frame_seed,
+    n_samples: int,
+    mesh: Mesh,
+):
+    """Render one frame with pixels sharded over ``tile`` and samples over
+    ``spp``.  Returns ((H, W, 3) radiance, scalar segment count) with the
+    image replicated (tile-gathered) on the host.
+
+    ``n_samples`` is the total spp; it must be divisible by the spp axis.
+    """
+    width, height = resolution
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    assert n_samples % n_spp == 0, "n_samples must divide across the spp axis"
+    local_samples = n_samples // n_spp
+    n_pixels = width * height
+    assert n_pixels % n_tile == 0, "pixel count must divide across the tile axis"
+
+    pixel_xy, pixel_index = pixel_grid(width, height)
+    pixel_xy = jnp.asarray(pixel_xy)
+    pixel_index = jnp.asarray(pixel_index)
+
+    scene_spec = jax.tree_util.tree_map(lambda _: P(), scene_data)
+    params_spec = jax.tree_util.tree_map(lambda _: P(), params)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_spec, params_spec, P("tile", None), P("tile")),
+        out_specs=(P("tile", None), P()),
+        check_vma=False,
+    )
+    def shard_fn(scene_local, params_local, pxy, pidx):
+        spp_idx = jax.lax.axis_index("spp")
+        # Offset the sample seed stream by this chip's spp coordinate so the
+        # union over chips equals a single-chip n_samples render.
+        seed = rng_mod.pcg_hash(
+            jnp.uint32(frame_seed) + spp_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        )
+        radiance, segs = integrator.render_samples(
+            scene_local, meta, flags, params_local, pxy, pidx, resolution, seed, local_samples
+        )
+        radiance = jax.lax.pmean(radiance, "spp")
+        segs = jax.lax.psum(segs, "spp")
+        segs = jax.lax.psum(segs, "tile")
+        return radiance, segs
+
+    radiance, segs = jax.jit(shard_fn)(scene_data, params, pixel_xy, pixel_index)
+    return radiance.reshape(height, width, 3), segs
+
+
+def render_tiled_final_frame(
+    scene_data, meta, flags, params, resolution, n_samples, mesh,
+    tile_rows: int = 4, frame_seed: int = 1234,
+):
+    """High-res / high-spp final frame: host-side loop over row bands, each
+    band rendered sharded (the TPU analogue of the reference's split-screen
+    chunking, PathTracer.cpp:141-152, which bounds per-dispatch device time).
+    """
+    width, height = resolution
+    assert height % tile_rows == 0
+    band_h = height // tile_rows
+    out = np.zeros((height, width, 3), np.float32)
+    total_segs = 0.0
+    for b in range(tile_rows):
+        band_params = params
+        # Render the full frame's band by offsetting pixel rows.
+        ys = np.arange(b * band_h, (b + 1) * band_h)
+        xs = np.arange(width)
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pixel_xy = jnp.asarray(
+            np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+        )
+        pixel_index = jnp.asarray((gy.reshape(-1) + width * gx.reshape(-1)).astype(np.uint32))
+
+        n_tile = mesh.shape["tile"]
+        n_spp = mesh.shape["spp"]
+        local_samples = n_samples // n_spp
+        scene_spec = jax.tree_util.tree_map(lambda _: P(), scene_data)
+        params_spec = jax.tree_util.tree_map(lambda _: P(), band_params)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(scene_spec, params_spec, P("tile", None), P("tile")),
+            out_specs=(P("tile", None), P()),
+            check_vma=False,
+        )
+        def shard_fn(scene_local, params_local, pxy, pidx):
+            spp_idx = jax.lax.axis_index("spp")
+            seed = rng_mod.pcg_hash(
+                jnp.uint32(frame_seed + b) + spp_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            )
+            radiance, segs = integrator.render_samples(
+                scene_local, meta, flags, params_local, pxy, pidx, resolution, seed, local_samples
+            )
+            return jax.lax.pmean(radiance, "spp"), jax.lax.psum(
+                jax.lax.psum(segs, "spp"), "tile"
+            )
+
+        band, segs = jax.jit(shard_fn)(scene_data, band_params, pixel_xy, pixel_index)
+        out[b * band_h : (b + 1) * band_h] = np.asarray(band).reshape(band_h, width, 3)
+        total_segs += float(segs)
+    return out, total_segs

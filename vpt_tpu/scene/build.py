@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vpt_tpu.accel.bvh import LEAF_SIZE, build_bvh
+from vpt_tpu.accel.cluster import build_clusters
 from vpt_tpu.scene.envmap import constant_environment, prepare_environment
 from vpt_tpu.scene.types import (
     BVHData,
@@ -157,6 +158,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
     tri_p0 = reorder_pad(v0)
     tri_e1 = reorder_pad(v1 - v0)
     tri_e2 = reorder_pad(v2 - v0)
+    clusters = build_clusters(bvh, tri_p0, tri_e1, tri_e2)
 
     # ---- emissive table ---------------------------------------------------
     em_instances = []
@@ -222,6 +224,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
         tri_mat=jnp.asarray(reorder_pad(tri_mat, 0)),
         tri_local=jnp.asarray(reorder_pad(tri_local, -1)),
         tri_inst=jnp.asarray(reorder_pad(tri_inst, -1)),
+        clusters=clusters,
         bvh=BVHData(
             nodes_min=jnp.asarray(bvh.aabb_min),
             nodes_max=jnp.asarray(bvh.aabb_max),

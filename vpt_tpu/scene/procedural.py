@@ -177,6 +177,68 @@ def cornell_box(
     )
 
 
+def sphere_garden(grid=10, sphere_res=(16, 32), seed=5) -> Scene:
+    """BVH-scale benchmark scene: a grid² field of mixed-material spheres on a
+    ground plane under a bright sky gradient — ~100k triangles at defaults.
+    Stands in for Sponza-class scenes until real assets load."""
+    rng = np.random.default_rng(seed)
+    meshes = [make_quad((-40, 0, 40), (40, 0, 40), (40, 0, -40), (-40, 0, -40))]
+    instances = [Instance(mesh=0, material=0, transform=np.eye(4, dtype=np.float32), name="ground")]
+    materials = [Material(name="ground", base_color=(0.55, 0.55, 0.55), roughness=0.9)]
+
+    sphere = make_uv_sphere(radius=1.0, n_lat=sphere_res[0], n_lon=sphere_res[1])
+    meshes.append(sphere)
+    for i in range(grid):
+        for j in range(grid):
+            kind = (i * grid + j) % 4
+            hue = rng.uniform(0.2, 1.0, 3)
+            if kind == 0:
+                m = Material(name=f"diffuse{i}{j}", base_color=tuple(hue), roughness=1.0)
+            elif kind == 1:
+                m = Material(name=f"metal{i}{j}", base_color=tuple(hue), metallic=1.0,
+                             roughness=float(rng.uniform(0.05, 0.5)))
+            elif kind == 2:
+                m = Material(name=f"glossy{i}{j}", base_color=tuple(hue),
+                             roughness=float(rng.uniform(0.1, 0.6)))
+            else:
+                m = Material(name=f"glass{i}{j}", base_color=(1, 1, 1), transmission=1.0,
+                             ior=1.5, roughness=float(rng.uniform(0.0, 0.2)))
+            materials.append(m)
+            t = np.eye(4, dtype=np.float32)
+            r = float(rng.uniform(0.6, 1.4))
+            t[:3, :3] *= r
+            t[:3, 3] = [
+                (i - grid / 2 + 0.5) * 3.5,
+                r,
+                (j - grid / 2 + 0.5) * 3.5,
+            ]
+            instances.append(
+                Instance(mesh=1, material=len(materials) - 1, transform=t, name=f"s{i}{j}")
+            )
+
+    # Sky: smooth gradient + a bright sun blob for env importance sampling.
+    h, w = 64, 128
+    ys = np.linspace(-1, 1, h)[:, None]
+    sky = np.zeros((h, w, 3), np.float32)
+    sky[...] = np.stack(
+        [0.35 + 0.2 * (1 - ys), 0.5 + 0.25 * (1 - ys), 0.9 + 0.1 * (1 - ys)], axis=-1
+    ) * np.ones((h, w, 3), np.float32)
+    sky[12:16, 30:34] = 200.0
+
+    view = look_at((14.0, 9.0, 22.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    return Scene(
+        meshes=meshes,
+        instances=instances,
+        materials=materials,
+        textures=default_textures(),
+        camera_view=view,
+        camera_fov_deg=45.0,
+        camera_aspect=1.0,
+        env_map=sky,
+        name="sphere_garden",
+    )
+
+
 def furnace_sphere(albedo=1.0, sky=1.0) -> Scene:
     """A single sphere under a uniform environment — the furnace test scene."""
     sphere = make_uv_sphere(radius=1.0, n_lat=16, n_lon=32)

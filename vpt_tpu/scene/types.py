@@ -182,6 +182,8 @@ class VolumeTable(NamedTuple):
 
 
 class SceneData(NamedTuple):
+    # NOTE: `clusters` (vpt_tpu.accel.cluster.ClusterData) is the primary
+    # intersection structure on TPU; `bvh` is kept for validation/reference.
     # Triangles, world space, BVH-reordered, padded by LEAF_SIZE degenerates.
     tri_p0: jnp.ndarray  # (T', 3)
     tri_e1: jnp.ndarray  # (T', 3)  v1 - v0
@@ -196,6 +198,7 @@ class SceneData(NamedTuple):
     tri_local: jnp.ndarray  # (T',) i32 PrimitiveIndex within the mesh
     tri_inst: jnp.ndarray  # (T',) i32 instance id
     bvh: BVHData
+    clusters: "ClusterData"  # type: ignore[name-defined]  # noqa: F821
     materials: MaterialTable
     emissive: EmissiveTable
     env: EnvMapData
