@@ -1,0 +1,61 @@
+import os
+
+import numpy as np
+import pytest
+
+from vpt_tpu.scene.gltf import load_gltf
+
+ASSETS = "/root/reference/Assets"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSETS), reason="reference assets not available"
+)
+
+
+def test_load_cornell_box():
+    scene = load_gltf(os.path.join(ASSETS, "CornellBox.gltf"))
+    assert len(scene.meshes) == 6
+    assert len(scene.instances) == 6
+    names = {m.name for m in scene.materials}
+    assert {"HalveRed", "DarkGreen", "Khaki", "Material.002"} <= names
+    # Light material: emissiveFactor [1,1,1] x strength 50
+    light = next(m for m in scene.materials if m.name == "Material.002")
+    np.testing.assert_allclose(light.emissive_color, (50.0, 50.0, 50.0))
+    # Camera present
+    assert scene.camera_view is not None
+    assert abs(scene.camera_aspect - 16 / 9) < 1e-3
+    # Geometry sane: all vertices finite, triangles non-degenerate counts
+    for mesh in scene.meshes:
+        assert np.isfinite(mesh.positions).all()
+        assert mesh.indices.shape[0] % 3 == 0
+
+
+def test_load_cornell_box_glass():
+    scene = load_gltf(os.path.join(ASSETS, "CornellBoxGlass.gltf"))
+    assert len(scene.instances) >= 6
+    assert scene.camera_view is not None
+
+
+def test_load_viking_room_textured():
+    scene = load_gltf(os.path.join(ASSETS, "VikingRoom.gltf"))
+    assert len(scene.instances) >= 1
+    # VikingRoom has a PNG texture
+    assert len(scene.textures) > 3
+    tex = scene.textures[3]
+    assert tex.ndim == 3 and tex.shape[2] == 4
+    assert 0.0 <= tex.min() and tex.max() <= 1.0
+
+
+def test_cornell_renders(tmp_path):
+    from vpt_tpu.api import Renderer
+    from vpt_tpu.render.params import RenderFlags
+
+    scene = load_gltf(os.path.join(ASSETS, "CornellBox.gltf"))
+    r = Renderer(
+        scene, width=48, height=48,
+        flags=RenderFlags(max_depth=4, max_medium_events=2),
+        samples_per_frame=2, max_samples=4, lookup_tables=None,
+    )
+    img = r.render()
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05

@@ -199,8 +199,15 @@ def compile_scene(scene: Scene, lookup_tables=None):
     # ---- env map ----------------------------------------------------------
     if scene.env_map is not None:
         env = prepare_environment(scene.env_map)
-    else:
+    elif em_count > 0:
+        # Scene brings its own lights; keep the sky dark.
         env = constant_environment((0.0, 0.0, 0.0))
+    else:
+        # The reference always loads a default HDR (PathTracer.h:208); use
+        # the procedural stand-in so light-less scenes aren't black.
+        from vpt_tpu.scene.envmap import default_sky
+
+        env = prepare_environment(default_sky())
     env = EnvMapData(*(jnp.asarray(x) for x in env))
 
     # ---- lookup tables ----------------------------------------------------

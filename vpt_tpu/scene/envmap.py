@@ -95,3 +95,28 @@ def constant_environment(color=(0.0, 0.0, 0.0), size=(8, 16)) -> EnvMapData:
     img = np.zeros((h, w, 3), np.float32)
     img[..., :] = np.asarray(color, np.float32)
     return prepare_environment(img)
+
+
+def default_sky(size=(64, 128), sun_azimuth=0.35, sun_altitude=0.35, sun_radiance=150.0) -> np.ndarray:
+    """Procedural gradient sky with a sun hotspot.
+
+    Stands in for the reference's default `Assets/meadow_2_4k.hdr`
+    (PathTracer.h:208), which is not redistributable with the repo.  Used
+    whenever a scene provides no environment map, so unlit scenes (e.g.
+    VikingRoom.gltf) are lit like they are in the reference.
+    """
+    h, w = size
+    ys = np.linspace(-1.0, 1.0, h)[:, None]  # -1 = up
+    up = np.clip(-ys, 0.0, 1.0)
+    horizon = 1.0 - np.abs(ys)
+    sky = np.zeros((h, w, 3), np.float32)
+    sky[..., 0] = 0.25 + 0.35 * horizon + 0.05 * up
+    sky[..., 1] = 0.35 + 0.35 * horizon + 0.15 * up
+    sky[..., 2] = 0.55 + 0.30 * horizon + 0.35 * up
+    # ground hemisphere: dimmer, warm
+    ground = ys[:, 0] > 0
+    sky[ground] *= np.array([0.45, 0.38, 0.30], np.float32)
+    sy = int((0.5 - sun_altitude / 2) * h)
+    sx = int((0.5 + sun_azimuth / 2) * w) % w
+    sky[max(sy - 1, 0) : sy + 2, max(sx - 1, 0) : sx + 2] = sun_radiance
+    return sky
