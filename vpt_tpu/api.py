@@ -328,3 +328,57 @@ class Renderer:
         self.width, self.height = width, height
         self._accum = jnp.zeros((height, width, 3), jnp.float32)
         self.reset_path_tracing()
+
+    # --------------------------------------------------------------- volumes
+    # AddVolume / SetVolume / RemoveVolume (PathTracer.cpp:1334-…)
+
+    def _rebuild_volumes(self) -> None:
+        from vpt_tpu.scene.build import build_volume_table
+
+        self.scene_data = self.scene_data._replace(
+            volumes=build_volume_table(self._volumes)
+        )
+        n_het = sum(1 for v in self._volumes if v.density_grid is not None)
+        self.meta = dataclasses.replace(
+            self.meta, n_volumes=len(self._volumes), n_het_volumes=n_het
+        )
+        self.reset_path_tracing()
+
+    @property
+    def volumes(self):
+        if not hasattr(self, "_volumes"):
+            self._volumes = []
+        return self._volumes
+
+    def add_volume(self, volume) -> None:
+        self.volumes.append(volume)
+        self._rebuild_volumes()
+
+    def set_volume(self, index: int, volume) -> None:
+        self.volumes[index] = volume
+        self._rebuild_volumes()
+
+    def remove_volume(self, index: int) -> None:
+        self.volumes.pop(index)
+        self._rebuild_volumes()
+
+    def add_density_data_to_volume(self, index: int, grid, temperature=None) -> None:
+        """AddDensityDataToVolume (PathTracer.cpp:1347-1516): attach a dense
+        density grid (or a path to .npy/.npz/.vdb via vpt_tpu.scene.vdb)."""
+        if isinstance(grid, str):
+            from vpt_tpu.scene.vdb import load_grid
+
+            grid = load_grid(grid)
+        self.volumes[index].density_grid = grid
+        if temperature is not None:
+            if isinstance(temperature, str):
+                from vpt_tpu.scene.vdb import load_grid
+
+                temperature = load_grid(temperature)
+            self.volumes[index].temperature_grid = temperature
+        self._rebuild_volumes()
+
+    def remove_density_data_from_volume(self, index: int) -> None:
+        self.volumes[index].density_grid = None
+        self.volumes[index].temperature_grid = None
+        self._rebuild_volumes()

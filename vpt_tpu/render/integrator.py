@@ -119,6 +119,8 @@ def path_trace_sample(
         med_color=jnp.ones((n, 3), jnp.float32),
         med_density=jnp.zeros(n, jnp.float32),
         med_aniso=jnp.zeros(n, jnp.float32),
+        channel=jnp.full(n, -1, jnp.int32),  # spectral split (RTCommon.slang:26-29)
+        vol_depth=jnp.zeros(n, jnp.int32),  # volume scatter count
         segments=jnp.zeros((), jnp.float32),  # traced rays (main + shadow)
         iter=jnp.int32(0),
     )
@@ -135,27 +137,77 @@ def path_trace_sample(
         alive = c["alive"]
         depth = c["depth"]
 
+        if flags.enable_atmosphere:
+            # Below the planet surface -> terminate (RayGen.slang:76-84)
+            from vpt_tpu.render import atmosphere as atmo
+
+            below = atmo.atmosphere_height(params, origin) < 0.0
+            alive = alive & ~below
+
         hit = trace(scene, meta, origin, direction, alive)
         hit_found = hit.t >= 0.0
-        missed = alive & ~hit_found
-        surf_lanes = alive & hit_found
+
+        # ------------------------------------------------------------------
+        # Volume / atmosphere scattering (ScatteredInVolume, RayGen.slang:162-263)
+        use_volumes = meta.n_volumes > 0
+        channel = c["channel"]
+        vol_depth = c["vol_depth"]
+        scatter_t = jnp.full(n, -1.0, jnp.float32)
+        scatter_vol = jnp.full(n, -1, jnp.int32)
+        atmo_comp = jnp.full(n, -1, jnp.int32)
+        if use_volumes:
+            from vpt_tpu.render import volumes as vol_mod
+
+            for vi in range(meta.n_volumes):
+                state, t_vi = vol_mod.scatter_distance_in_volume(
+                    state, scene.volumes, vi, origin, direction, vol_depth, alive
+                )
+                closer = (t_vi >= 0.0) & ((t_vi < scatter_t) | (scatter_t < 0.0))
+                scatter_vol = jnp.where(closer, vi, scatter_vol)
+                scatter_t = jnp.where(closer, t_vi, scatter_t)
+        if flags.enable_atmosphere:
+            # Stochastic channel pick for unsplit rays (RayGen.slang:214-224)
+            state, cp = rng.next_float(state)
+            cand = jnp.where(cp < 0.33333, 0, jnp.where(cp < 0.66666, 1, 2)).astype(jnp.int32)
+            channel_eff = jnp.where(channel < 0, cand, channel)
+            state, at_t, at_comp = atmo.sample_scatter_distance(
+                state, params, origin, direction, channel_eff, alive
+            )
+            closer = (at_t >= 0.0) & ((at_t < scatter_t) | (scatter_t < 0.0))
+            scatter_vol = jnp.where(closer, -2, scatter_vol)
+            scatter_t = jnp.where(closer, at_t, scatter_t)
+            atmo_comp = jnp.where(closer, at_comp, -1)
+        dist_geo = jnp.where(hit_found, hit.t, -1.0)
+        vol_scatter = (
+            alive
+            & (scatter_t >= 0.0)
+            & ((dist_geo < 0.0) | (scatter_t < dist_geo))
+        )
+        atmo_scatter = vol_scatter & (scatter_vol == -2)
+        media_scatter = vol_scatter & (scatter_vol >= 0)
+        vol_pos = origin + direction * jnp.maximum(scatter_t, 0.0)[:, None]
+
+        missed = alive & ~hit_found & ~vol_scatter
+        surf_lanes = alive & hit_found & ~vol_scatter
 
         emitted = jnp.zeros((n, 3), jnp.float32)
 
         # ------------------------------------------------------------------
-        # Miss shading (Miss.slang:8-77)
-        env_rgba = lights.env_radiance(
-            scene.env.image, direction, params.sky_rotation_azimuth, params.sky_rotation_altitude
-        )
-        env_rgb = env_rgba[:, :3] * params.environment_intensity
-        if not flags.show_env_map_directly:
-            env_rgb = jnp.where((depth == 0)[:, None], 0.0, env_rgb)
-        if flags.furnace_test_mode:
-            env_rgb = jnp.ones_like(env_rgb)
-        if flags.enable_sky_mis:
-            mis_w = jnp.where(depth > 0, power_heuristic(c["prev_pdf"], env_rgba[:, 3]), 1.0)
-            env_rgb = env_rgb * mis_w[:, None]
-        emitted = jnp.where(missed[:, None], env_rgb, emitted)
+        # Miss shading (Miss.slang:8-77).  With the atmosphere enabled the
+        # miss shader contributes nothing (Miss.slang:11-14).
+        if not flags.enable_atmosphere:
+            env_rgba = lights.env_radiance(
+                scene.env.image, direction, params.sky_rotation_azimuth, params.sky_rotation_altitude
+            )
+            env_rgb = env_rgba[:, :3] * params.environment_intensity
+            if not flags.show_env_map_directly:
+                env_rgb = jnp.where((depth == 0)[:, None], 0.0, env_rgb)
+            if flags.furnace_test_mode:
+                env_rgb = jnp.ones_like(env_rgb)
+            if flags.enable_sky_mis:
+                mis_w = jnp.where(depth > 0, power_heuristic(c["prev_pdf"], env_rgba[:, 3]), 1.0)
+                env_rgb = env_rgb * mis_w[:, None]
+            emitted = jnp.where(missed[:, None], env_rgb, emitted)
 
         # ------------------------------------------------------------------
         # In-medium walk (ClosestHit.slang:80-116)
@@ -216,10 +268,11 @@ def path_trace_sample(
             sky_rgb = jnp.zeros((n, 3), jnp.float32)
             sky_pdf = jnp.zeros(n, jnp.float32)
 
+        nee_pos = jnp.where(vol_scatter[:, None], vol_pos, surf.world_pos)
         use_mesh_nee = flags.enable_mesh_mis and meta.n_emissive > 0
         if use_mesh_nee:
             (state, to_light, light_rgb, light_pdf, light_tri, light_inst) = (
-                lights.sample_emissive_triangle(state, scene, surf.world_pos, meta.n_emissive)
+                lights.sample_emissive_triangle(state, scene, nee_pos, meta.n_emissive)
             )
         else:
             to_light = jnp.zeros((n, 3), jnp.float32)
@@ -228,10 +281,16 @@ def path_trace_sample(
             light_tri = jnp.full(n, -1, jnp.int32)
             light_inst = jnp.full(n, -1, jnp.int32)
 
-        need_sky = shade & jnp.bool_(flags.enable_sky_mis)
-        need_light = shade & jnp.bool_(use_mesh_nee) & ~is_light & (light_pdf > 0.0)
-        sky_org = surf.world_pos + surf.normal * 1e-5
-        light_org = surf.world_pos + to_light * 1e-2
+        need_sky = (shade | media_scatter | atmo_scatter) & jnp.bool_(flags.enable_sky_mis)
+        need_light = (
+            (shade & ~is_light) | media_scatter
+        ) & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
+        sky_org = jnp.where(
+            vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * 1e-5
+        )
+        light_org = jnp.where(
+            vol_scatter[:, None], vol_pos, surf.world_pos + to_light * 1e-2
+        )
         shadow_org = jnp.concatenate([sky_org, light_org])
         shadow_dir = jnp.concatenate([to_sky, to_light])
         shadow_active = jnp.concatenate([need_sky, need_light])
@@ -267,15 +326,40 @@ def path_trace_sample(
         med_aniso = jnp.where(entering, props.medium_anisotropy, c["med_aniso"])
 
         # ------------------------------------------------------------------
-        # NEE evaluation (ClosestHit.slang:240-256, 326-372)
+        # NEE transmittance through volumes/atmosphere (shadow attenuation)
+        def nee_transmittance(state, org, dirs, ray_depth, lanes, use_atmo: bool):
+            tr = jnp.ones((n, 3), jnp.float32)
+            if use_volumes:
+                from vpt_tpu.render import volumes as vol_mod
+
+                state, tv = vol_mod.volumes_transmittance(
+                    state, scene.volumes, meta.n_volumes, org, dirs, ray_depth, lanes
+                )
+                tr = tr * tv[:, None]
+            if use_atmo and flags.enable_atmosphere:
+                # Unsplit rays: per-channel transmittance; split: one channel
+                # (ClosestHit.slang:335-350)
+                for ch in range(3):
+                    ch_arr = jnp.where(channel < 0, ch, channel)
+                    run = lanes & ((channel < 0) | (channel == ch))
+                    state, ta = atmo.transmittance(state, params, org, dirs, ch_arr, run)
+                    tr = tr.at[:, ch].set(jnp.where(run, tr[:, ch] * ta, tr[:, ch]))
+            return state, tr
+
+        # ------------------------------------------------------------------
+        # NEE evaluation (ClosestHit.slang:240-256, 326-372 + volume events
+        # RayGen.slang:265-380)
         if flags.enable_sky_mis:
             sky_tan = surface_mod.world_to_tangent(surf, to_sky)
             sky_bxdf, sky_eval_pdf = bsdf_mod.evaluate_bsdf(
                 props, scene, v_tan, sky_tan, flags.use_energy_compensation
             )
-            sky_ok = can_hit_sky & (sky_pdf > 0.0) & (sky_eval_pdf > 0.0)
+            state, sky_trans = nee_transmittance(
+                state, sky_org, to_sky, jnp.zeros(n, jnp.int32), can_hit_sky, True
+            )
+            sky_ok = can_hit_sky & shade & (sky_pdf > 0.0) & (sky_eval_pdf > 0.0)
             sky_contrib = (
-                sky_bxdf * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
+                sky_bxdf * sky_trans * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
                 * power_heuristic(sky_pdf, sky_eval_pdf)[:, None]
             )
             emitted = emitted + jnp.where(sky_ok[:, None], sky_contrib, 0.0)
@@ -285,12 +369,125 @@ def path_trace_sample(
             l_bxdf, l_eval_pdf = bsdf_mod.evaluate_bsdf(
                 props, scene, v_tan, light_tan, flags.use_energy_compensation
             )
-            l_ok = can_hit_light & (light_pdf > 0.0) & (l_eval_pdf > 0.0) & ~is_light
+            state, l_trans = nee_transmittance(
+                state, light_org, to_light, jnp.zeros(n, jnp.int32), can_hit_light, False
+            )
+            l_ok = can_hit_light & shade & (light_pdf > 0.0) & (l_eval_pdf > 0.0) & ~is_light
             l_contrib = (
-                l_bxdf * light_rgb / jnp.maximum(light_pdf, 1e-20)[:, None]
+                l_bxdf * l_trans * light_rgb / jnp.maximum(light_pdf, 1e-20)[:, None]
                 * power_heuristic(light_pdf, l_eval_pdf)[:, None]
             )
             emitted = emitted + jnp.where(l_ok[:, None], l_contrib, 0.0)
+
+        # ------------------------------------------------------------------
+        # Volume scattering events (EvaluateVolumeScatteringEvent,
+        # RayGen.slang:265-380)
+        vol_dir = direction
+        vol_bxdf = jnp.zeros((n, 3), jnp.float32)
+        vol_pdf = jnp.ones(n, jnp.float32)
+        if use_volumes:
+            from vpt_tpu.render import volumes as vol_mod
+
+            vt = scene.volumes
+            vidx = jnp.clip(scatter_vol, 0, max(meta.n_volumes - 1, 0))
+            # Emission (volume color + temperature; RayGen.slang:268)
+            state, temp_emit = vol_mod.temperature_emission(state, vt, vidx, vol_pos)
+            vol_emit = vt.emissive_color[vidx] + temp_emit
+            emitted = emitted + jnp.where(media_scatter[:, None], vol_emit, 0.0)
+
+            # Phase sample for the new direction
+            state, sampled_dir = vol_mod.phase_sample(
+                state, vt, vidx, direction, vol_depth, flags.phase_function
+            )
+            phase_new = vol_mod.phase_eval(
+                vt, vidx, direction, sampled_dir, vol_depth, flags.phase_function
+            )
+            vol_dir = jnp.where(media_scatter[:, None], sampled_dir, vol_dir)
+            vol_bxdf = jnp.where(
+                media_scatter[:, None], vt.color[vidx] * phase_new[:, None], vol_bxdf
+            )
+            vol_pdf = jnp.where(media_scatter, phase_new, vol_pdf)
+
+            # Sky MIS at the scatter point (RayGen.slang:319-352)
+            if flags.enable_sky_mis:
+                phase_sky = vol_mod.phase_eval(
+                    vt, vidx, direction, to_sky, vol_depth, flags.phase_function
+                )
+                state, v_sky_tr = nee_transmittance(
+                    state, vol_pos, to_sky, vol_depth, can_hit_sky & media_scatter, True
+                )
+                ok = media_scatter & can_hit_sky & (sky_pdf > 0.0) & (phase_sky > 0.0)
+                contrib = (
+                    v_sky_tr * (vt.color[vidx] * phase_sky[:, None])
+                    * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
+                    * power_heuristic(sky_pdf, phase_sky)[:, None]
+                )
+                emitted = emitted + jnp.where(ok[:, None], contrib, 0.0)
+
+            # Mesh MIS at the scatter point (RayGen.slang:355-372)
+            if use_mesh_nee:
+                phase_l = vol_mod.phase_eval(
+                    vt, vidx, direction, to_light, vol_depth, flags.phase_function
+                )
+                state, v_l_tr = nee_transmittance(
+                    state, vol_pos, to_light, vol_depth + 1, can_hit_light & media_scatter, False
+                )
+                okl = media_scatter & can_hit_light & (light_pdf > 0.0) & (phase_l > 0.0)
+                contribl = (
+                    v_l_tr * (vt.color[vidx] * phase_l[:, None])
+                    * light_rgb / jnp.maximum(light_pdf, 1e-20)[:, None]
+                    * power_heuristic(light_pdf, phase_l)[:, None]
+                )
+                emitted = emitted + jnp.where(okl[:, None], contribl, 0.0)
+
+        # ------------------------------------------------------------------
+        # Atmosphere scattering events (EvaluateAtmosphereScatteringEvent,
+        # RayGen.slang:382-471)
+        if flags.enable_atmosphere:
+            channel = jnp.where(atmo_scatter, channel_eff, channel)
+            state, dir_ray = sampling.sample_rayleigh(state, direction)
+            state, dir_mie = sampling.sample_henyey_greenstein(state, direction, 0.85)
+            a_dir = jnp.where(
+                (atmo_comp == atmo.COMPONENT_RAYLEIGH)[:, None], dir_ray,
+                jnp.where((atmo_comp == atmo.COMPONENT_MIE)[:, None], dir_mie, direction),
+            )
+            ph_ray = sampling.phase_rayleigh(direction, a_dir)
+            ph_mie = sampling.phase_henyey_greenstein(direction, a_dir, 0.85)
+            mie_atten = atmo.C_MIE_ABSORPTION / atmo.C_MIE  # (3,)
+            a_bxdf = jnp.where(
+                (atmo_comp == atmo.COMPONENT_RAYLEIGH)[:, None],
+                ph_ray[:, None] * jnp.ones((1, 3)),
+                jnp.where(
+                    (atmo_comp == atmo.COMPONENT_MIE)[:, None],
+                    ph_mie[:, None] * (1.0 - mie_atten)[None, :],
+                    jnp.zeros((n, 3)),
+                ),
+            )
+            a_pdf = jnp.where(
+                atmo_comp == atmo.COMPONENT_RAYLEIGH, ph_ray,
+                jnp.where(atmo_comp == atmo.COMPONENT_MIE, ph_mie, 1.0),
+            )
+            vol_dir = jnp.where(atmo_scatter[:, None], a_dir, vol_dir)
+            vol_bxdf = jnp.where(atmo_scatter[:, None], a_bxdf, vol_bxdf)
+            vol_pdf = jnp.where(atmo_scatter, a_pdf, vol_pdf)
+
+            if flags.enable_sky_mis:
+                # Sun NEE at the scatter point, no MIS weight (RayGen.slang:404-452)
+                ph_sky = jnp.where(
+                    atmo_comp == atmo.COMPONENT_RAYLEIGH,
+                    sampling.phase_rayleigh(direction, to_sky),
+                    jnp.where(
+                        atmo_comp == atmo.COMPONENT_MIE,
+                        sampling.phase_henyey_greenstein(direction, to_sky, 0.85),
+                        0.0,
+                    ),
+                )
+                state, a_tr = nee_transmittance(
+                    state, vol_pos, to_sky, vol_depth, atmo_scatter & can_hit_sky, True
+                )
+                oka = atmo_scatter & can_hit_sky & (sky_pdf > 0.0)
+                contrib_a = ph_sky[:, None] * a_tr * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
+                emitted = emitted + jnp.where(oka[:, None], contrib_a, 0.0)
 
         # ------------------------------------------------------------------
         # Emissive surface hit (direct + MIS; ClosestHit.slang:265-317)
@@ -321,7 +518,8 @@ def path_trace_sample(
         # ------------------------------------------------------------------
         # Contribution + firefly clamp (RayGen.slang:92-102)
         contribution = emitted * c["throughput"]
-        no_clamp = (depth == 0) & surf_lanes  # depth becomes 1 -> unclamped
+        # depth becomes 1 after any hit/scatter event at depth 0 -> unclamped
+        no_clamp = (depth == 0) & (surf_lanes | vol_scatter)
         lum = luminance(contribution)
         scale = params.max_luminance / jnp.maximum(lum, params.max_luminance)
         contribution = jnp.where(no_clamp[:, None], contribution, contribution * scale[:, None])
@@ -336,6 +534,9 @@ def path_trace_sample(
         )
         factor = jnp.where(beer_lanes[:, None], factor * beer, factor)
         factor = jnp.where(med_scatter[:, None], c["med_color"], factor)
+        factor = jnp.where(
+            vol_scatter[:, None], vol_bxdf / jnp.maximum(vol_pdf, 1e-20)[:, None], factor
+        )
         throughput = c["throughput"] * jnp.where(alive[:, None], factor, 1.0)
 
         new_origin = jnp.where(
@@ -347,11 +548,18 @@ def path_trace_sample(
         new_origin = jnp.where(
             med_scatter[:, None], origin + direction * scat_d[:, None], new_origin
         )
+        new_origin = jnp.where(vol_scatter[:, None], vol_pos, new_origin)
         new_direction = jnp.where(shade[:, None], scatter_world, direction)
         new_direction = jnp.where(med_scatter[:, None], med_dir, new_direction)
+        new_direction = jnp.where(vol_scatter[:, None], vol_dir, new_direction)
 
-        prev_pdf = jnp.where(shade, pdf_s, jnp.where(med_scatter, 1.0, c["prev_pdf"]))
-        depth = depth + jnp.where(shade, 1, 0)  # medium events don't age the path
+        prev_pdf = jnp.where(
+            shade, pdf_s,
+            jnp.where(med_scatter | vol_scatter, jnp.where(vol_scatter, vol_pdf, 1.0), c["prev_pdf"]),
+        )
+        # Medium events don't age the path; surface/volume/atmosphere do.
+        depth = depth + jnp.where(shade | vol_scatter, 1, 0)
+        vol_depth = vol_depth + jnp.where(media_scatter, 1, 0)
         alive = alive & ~missed & ~invalid & (depth < flags.max_depth)
 
         # ------------------------------------------------------------------
@@ -383,12 +591,24 @@ def path_trace_sample(
             med_color=med_color,
             med_density=med_density,
             med_aniso=med_aniso,
+            channel=channel,
+            vol_depth=vol_depth,
             segments=segments,
             iter=c["iter"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, carry)
     radiance = out["radiance"]
+    if flags.enable_atmosphere:
+        # Spectrally split paths contribute only their tracked channel
+        # (RayGen.slang:118-128)
+        ch = out["channel"]
+        chan_mask = jnp.where(
+            (ch < 0)[:, None],
+            jnp.ones((n, 3), jnp.float32),
+            (jnp.arange(3)[None, :] == ch[:, None]).astype(jnp.float32),
+        )
+        radiance = radiance * chan_mask
     # Per-path NaN/Inf rejection (RayGen.slang:116)
     finite = jnp.all(jnp.isfinite(radiance), axis=-1)
     return jnp.where(finite[:, None], radiance, 0.0), out["segments"]

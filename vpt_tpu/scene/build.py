@@ -29,6 +29,100 @@ from vpt_tpu.scene.types import (
 BRUTE_FORCE_MAX_TRIS = 1024
 
 
+def build_volume_table(volumes) -> VolumeTable:
+    """Host Volume list -> device VolumeTable (VolumeGPU upload equivalent,
+    PathTracer.cpp:1334-…).  Heterogeneous grids are padded to a common shape
+    and 32^3 block max-densities are precomputed for empty-space skipping."""
+    if not volumes:
+        return empty_volume_table()
+    nv = len(volumes)
+
+    def f3(get):
+        return jnp.asarray(np.array([get(v) for v in volumes], np.float32))
+
+    def f1(get):
+        return jnp.asarray(np.array([get(v) for v in volumes], np.float32))
+
+    def i1(get):
+        return jnp.asarray(np.array([get(v) for v in volumes], np.int32))
+
+    corners = [v.world_corners() for v in volumes]
+
+    # Collect heterogeneous grids, padded to the max extent.
+    grid_vols = [i for i, v in enumerate(volumes) if v.density_grid is not None]
+    grid_index = np.full(nv, -1, np.int32)
+    max_density = np.zeros(nv, np.float32)
+    if grid_vols:
+        dmax = max(volumes[i].density_grid.shape[0] for i in grid_vols)
+        hmax = max(volumes[i].density_grid.shape[1] for i in grid_vols)
+        wmax = max(volumes[i].density_grid.shape[2] for i in grid_vols)
+        grids = np.zeros((len(grid_vols), dmax, hmax, wmax), np.float32)
+        temps = np.zeros_like(grids)
+        blocks = np.zeros((len(grid_vols), 32, 32, 32), np.float32)
+        for g, i in enumerate(grid_vols):
+            dg = np.asarray(volumes[i].density_grid, np.float32)
+            grids[g, : dg.shape[0], : dg.shape[1], : dg.shape[2]] = dg
+            if volumes[i].temperature_grid is not None:
+                tg = np.asarray(volumes[i].temperature_grid, np.float32)
+                tnorm = tg / max(tg.max(), 1e-20)
+                temps[g, : tg.shape[0], : tg.shape[1], : tg.shape[2]] = tnorm
+            grid_index[i] = g
+            max_density[i] = float(dg.max())
+            # 32^3 max-density blocks over the *normalized* grid (the device
+            # multiplies by volume density; values normalized by grid max).
+            norm = dg / max(float(dg.max()), 1e-20)
+            d, h, w = norm.shape
+            for bz in range(32):
+                for by in range(32):
+                    for bx in range(32):
+                        z0, z1 = bz * d // 32, max((bz + 1) * d // 32, bz * d // 32 + 1)
+                        y0, y1 = by * h // 32, max((by + 1) * h // 32, by * h // 32 + 1)
+                        x0, x1 = bx * w // 32, max((bx + 1) * w // 32, bx * w // 32 + 1)
+                        # Dilate by one voxel: the sampler jitters +-1 voxel.
+                        blk = norm[
+                            max(z0 - 1, 0) : min(z1 + 1, d),
+                            max(y0 - 1, 0) : min(y1 + 1, h),
+                            max(x0 - 1, 0) : min(x1 + 1, w),
+                        ]
+                        # Block layout: x + y*32 + z*32*32 with world y flipped
+                        # like the sampler's normalized position
+                        blocks[g, bz, 31 - by, bx] = blk.max() if blk.size else 0.0
+        density_grids = jnp.asarray(grids)
+        temperature_grids = jnp.asarray(temps)
+        max_blocks = jnp.asarray(blocks)
+    else:
+        density_grids = jnp.zeros((0, 1, 1, 1), jnp.float32)
+        temperature_grids = jnp.zeros((0, 1, 1, 1), jnp.float32)
+        max_blocks = jnp.zeros((0, 32, 32, 32), jnp.float32)
+
+    return VolumeTable(
+        corner_min=jnp.asarray(np.stack([c[0] for c in corners])),
+        corner_max=jnp.asarray(np.stack([c[1] for c in corners])),
+        color=f3(lambda v: v.color),
+        emissive_color=f3(lambda v: v.emissive_color),
+        temperature_color=f3(lambda v: v.temperature_color),
+        density=f1(lambda v: v.density),
+        anisotropy=f1(lambda v: v.anisotropy),
+        alpha=f1(lambda v: v.alpha),
+        droplet_size=f1(lambda v: v.droplet_size),
+        density_grid_index=jnp.asarray(grid_index),
+        max_density=jnp.asarray(max_density),
+        use_blackbody=i1(lambda v: int(v.use_blackbody)),
+        has_temperature=i1(lambda v: int(v.temperature_grid is not None)),
+        temperature_gamma=f1(lambda v: v.temperature_gamma),
+        temperature_scale=f1(lambda v: v.temperature_scale),
+        emissive_color_gamma=f1(lambda v: v.emissive_color_gamma),
+        kelvin_min=f1(lambda v: v.kelvin_min),
+        kelvin_max=f1(lambda v: v.kelvin_max),
+        approx_cloud_scattering=i1(lambda v: int(v.approximated_scattering_for_clouds)),
+        approx_scattering_falloff=f1(lambda v: v.approximated_scattering_falloff),
+        grid_sharpness=f1(lambda v: v.grid_sharpness),
+        density_grids=density_grids,
+        temperature_grids=temperature_grids,
+        max_density_blocks=max_blocks,
+    )
+
+
 def empty_volume_table() -> VolumeTable:
     z3 = jnp.zeros((0, 3), jnp.float32)
     z = jnp.zeros((0,), jnp.float32)

@@ -76,6 +76,46 @@ class Instance:
 
 
 @dataclasses.dataclass
+class Volume:
+    """Host volume description; mirrors PathTracer::Volume (PathTracer.h:36-74).
+
+    `density_grid` / `temperature_grid` are optional dense (D, H, W) float32
+    arrays (the NanoVDB ingest path converts to these)."""
+
+    corner_min: tuple = (-1.0, -1.0, -1.0)
+    corner_max: tuple = (1.0, 1.0, 1.0)
+    position: tuple = (0.0, 0.0, 0.0)
+    scale: tuple = (1.0, 1.0, 1.0)
+    color: tuple = (0.8, 0.8, 0.8)
+    emissive_color: tuple = (0.0, 0.0, 0.0)
+    temperature_color: tuple = (1.0, 0.5, 0.0)
+    density: float = 1.0
+    anisotropy: float = 0.0
+    alpha: float = 1.0
+    droplet_size: float = 20.0
+    use_blackbody: bool = True
+    temperature_gamma: float = 1.0
+    temperature_scale: float = 1.0
+    emissive_color_gamma: float = 1.0
+    kelvin_min: int = 500
+    kelvin_max: int = 8000
+    approximated_scattering_for_clouds: bool = False
+    approximated_scattering_falloff: float = 0.8
+    grid_sharpness: float = 1.0
+    density_grid: Optional[np.ndarray] = None  # (D, H, W) f32
+    temperature_grid: Optional[np.ndarray] = None
+
+    def world_corners(self):
+        """Position/scale applied like VolumeGPU's constructor (PathTracer.h:396-397)."""
+        pos = np.asarray(self.position, np.float32)
+        scl = np.asarray(self.scale, np.float32)
+        return (
+            pos + np.asarray(self.corner_min, np.float32) * scl,
+            pos + np.asarray(self.corner_max, np.float32) * scl,
+        )
+
+
+@dataclasses.dataclass
 class Scene:
     meshes: list
     instances: list
