@@ -47,14 +47,29 @@ class FlatBVH:
         return int(self.aabb_min.shape[0])
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
-    """Binned-SAH top-down build over world-space triangles (T, 3) each."""
+def build_bvh(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE,
+    use_native: bool = True,
+) -> FlatBVH:
+    """Binned-SAH top-down build over world-space triangles (T, 3) each.
+
+    Uses the C++ builder (vpt_tpu/accel/cpp) when a toolchain is available —
+    the native path is the production one; this NumPy implementation is the
+    readable reference and fallback."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     n_tris = v0.shape[0]
     if n_tris == 0:
         raise ValueError("cannot build a BVH over zero triangles")
+
+    if use_native:
+        from vpt_tpu.accel.native import build_bvh_native
+
+        result = build_bvh_native(v0, v1, v2, leaf_size)
+        if result is not None:
+            amin, amax, first, count, skip, order = result
+            return FlatBVH(amin, amax, first, count, skip, order)
 
     centroid = (v0 + v1 + v2) / 3.0
     tri_min = np.minimum(np.minimum(v0, v1), v2)
