@@ -35,7 +35,7 @@ def main():
     params = default_params(np.linalg.inv(view), np.linalg.inv(proj))
     flags = RenderFlags(max_depth=8, max_medium_events=8)
 
-    spp_per_dispatch = 8
+    spp_per_dispatch = 4
     accum = jnp.zeros((height, width, 3), jnp.float32)
 
     # Warmup / compile

@@ -46,21 +46,29 @@ class MaterialProps(NamedTuple):
     ay: jnp.ndarray
 
 
-def make_material(scene, mat_id, uv, hit_from_inside, furnace_test_mode: bool) -> MaterialProps:
+def make_material(
+    scene, mat_id, uv, hit_from_inside, furnace_test_mode: bool,
+    has_textures: bool = True,
+) -> MaterialProps:
     m = scene.materials
     base = m.base_color[mat_id]
-    tex_base = sample_texture(scene.textures, scene.texture_dims, m.base_color_texture[mat_id], uv)
-    base = base * jnp.power(jnp.maximum(tex_base[:, :3], 0.0), 2.2)
-
-    rough = m.roughness[mat_id] * sample_texture(
-        scene.textures, scene.texture_dims, m.roughness_texture[mat_id], uv
-    )[:, 0]
-    metal = m.metallic[mat_id] * sample_texture(
-        scene.textures, scene.texture_dims, m.metallic_texture[mat_id], uv
-    )[:, 0]
-    emissive = m.emissive_color[mat_id] * sample_texture(
-        scene.textures, scene.texture_dims, m.emissive_texture[mat_id], uv
-    )[:, :3]
+    rough = m.roughness[mat_id]
+    metal = m.metallic[mat_id]
+    emissive = m.emissive_color[mat_id]
+    if has_textures:
+        tex_base = sample_texture(
+            scene.textures, scene.texture_dims, m.base_color_texture[mat_id], uv
+        )
+        base = base * jnp.power(jnp.maximum(tex_base[:, :3], 0.0), 2.2)
+        rough = rough * sample_texture(
+            scene.textures, scene.texture_dims, m.roughness_texture[mat_id], uv
+        )[:, 0]
+        metal = metal * sample_texture(
+            scene.textures, scene.texture_dims, m.metallic_texture[mat_id], uv
+        )[:, 0]
+        emissive = emissive * sample_texture(
+            scene.textures, scene.texture_dims, m.emissive_texture[mat_id], uv
+        )[:, :3]
 
     ior = jnp.maximum(m.ior[mat_id], 1.000001)
     aniso = m.anisotropy[mat_id]

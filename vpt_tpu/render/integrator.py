@@ -95,9 +95,16 @@ def path_trace_sample(
     pixel_xy: jnp.ndarray,  # (N, 2) float
     pixel_index: jnp.ndarray,  # (N,) linear index for RNG seeding
     resolution,  # (width, height) static
-    sample_seed: jnp.ndarray,  # scalar uint32 (sample index ^ frame seed mix)
+    sample_seed: jnp.ndarray,  # scalar uint32 frame seed
+    n_samples: int = 1,
 ):
-    """Trace one full path per pixel; returns (N, 3) radiance estimate."""
+    """Trace `n_samples` paths per pixel with wavefront regeneration: the
+    moment a lane's path terminates, it starts that pixel's next sample
+    instead of idling until the whole wavefront drains (the classic
+    path-regeneration trick — keeps SIMD lanes near 100% occupied, which a
+    GPU gets from its hardware scheduler and a TPU must do in software).
+
+    Returns ((N, 3) summed radiance over samples, segment count)."""
     n = pixel_xy.shape[0]
     state = rng.seed(pixel_index, 0, sample_seed)
 
@@ -111,7 +118,9 @@ def path_trace_sample(
         origin=origin,
         direction=direction,
         throughput=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),  # current path accumulator
+        lane_acc=jnp.zeros((n, 3), jnp.float32),  # folded finished paths
+        sample_idx=jnp.zeros(n, jnp.int32),
         prev_pdf=jnp.ones(n, jnp.float32),
         depth=jnp.zeros(n, jnp.int32),
         alive=jnp.ones(n, bool),
@@ -125,7 +134,20 @@ def path_trace_sample(
         iter=jnp.int32(0),
     )
 
-    max_iters = flags.max_depth + flags.max_medium_events
+    max_iters = n_samples * (flags.max_depth + flags.max_medium_events)
+
+    def _fold_mask(path_rad, ch):
+        """Channel mask + NaN/Inf rejection for a finished path
+        (RayGen.slang:116-128)."""
+        if flags.enable_atmosphere:
+            chan_mask = jnp.where(
+                (ch < 0)[:, None],
+                jnp.ones((n, 3), jnp.float32),
+                (jnp.arange(3)[None, :] == ch[:, None]).astype(jnp.float32),
+            )
+            path_rad = path_rad * chan_mask
+        finite = jnp.all(jnp.isfinite(path_rad), axis=-1)
+        return jnp.where(finite[:, None], path_rad, 0.0)
 
     def cond(c):
         return jnp.logical_and(c["iter"] < max_iters, jnp.any(c["alive"]))
@@ -150,6 +172,7 @@ def path_trace_sample(
         # ------------------------------------------------------------------
         # Volume / atmosphere scattering (ScatteredInVolume, RayGen.slang:162-263)
         use_volumes = meta.n_volumes > 0
+        any_media = use_volumes or flags.enable_atmosphere
         channel = c["channel"]
         vol_depth = c["vol_depth"]
         scatter_t = jnp.full(n, -1.0, jnp.float32)
@@ -177,18 +200,25 @@ def path_trace_sample(
             scatter_vol = jnp.where(closer, -2, scatter_vol)
             scatter_t = jnp.where(closer, at_t, scatter_t)
             atmo_comp = jnp.where(closer, at_comp, -1)
-        dist_geo = jnp.where(hit_found, hit.t, -1.0)
-        vol_scatter = (
-            alive
-            & (scatter_t >= 0.0)
-            & ((dist_geo < 0.0) | (scatter_t < dist_geo))
-        )
-        atmo_scatter = vol_scatter & (scatter_vol == -2)
-        media_scatter = vol_scatter & (scatter_vol >= 0)
-        vol_pos = origin + direction * jnp.maximum(scatter_t, 0.0)[:, None]
-
-        missed = alive & ~hit_found & ~vol_scatter
-        surf_lanes = alive & hit_found & ~vol_scatter
+        if any_media:
+            dist_geo = jnp.where(hit_found, hit.t, -1.0)
+            vol_scatter = (
+                alive
+                & (scatter_t >= 0.0)
+                & ((dist_geo < 0.0) | (scatter_t < dist_geo))
+            )
+            atmo_scatter = vol_scatter & (scatter_vol == -2)
+            media_scatter = vol_scatter & (scatter_vol >= 0)
+            vol_pos = origin + direction * jnp.maximum(scatter_t, 0.0)[:, None]
+            missed = alive & ~hit_found & ~vol_scatter
+            surf_lanes = alive & hit_found & ~vol_scatter
+        else:
+            vol_scatter = jnp.zeros(n, bool)
+            atmo_scatter = vol_scatter
+            media_scatter = vol_scatter
+            vol_pos = origin
+            missed = alive & ~hit_found
+            surf_lanes = alive & hit_found
 
         emitted = jnp.zeros((n, 3), jnp.float32)
 
@@ -235,9 +265,13 @@ def path_trace_sample(
             u=hit.u,
             v=hit.v,
         )
-        surf = surface_mod.make_surface(scene, safe_hit, direction, flags.use_only_geometry_normals)
+        surf = surface_mod.make_surface(
+            scene, safe_hit, direction, flags.use_only_geometry_normals,
+            has_textures=meta.has_textures,
+        )
         props = bsdf_mod.make_material(
-            scene, surf.mat_id, surf.uv, surf.hit_from_inside, flags.furnace_test_mode
+            scene, surf.mat_id, surf.uv, surf.hit_from_inside, flags.furnace_test_mode,
+            has_textures=meta.has_textures,
         )
         surf = surface_mod.rotate_tangents(surf, props.anisotropy_rotation)
         is_light = jnp.any(props.emissive_color > 0.0, axis=-1)
@@ -268,11 +302,16 @@ def path_trace_sample(
             sky_rgb = jnp.zeros((n, 3), jnp.float32)
             sky_pdf = jnp.zeros(n, jnp.float32)
 
-        nee_pos = jnp.where(vol_scatter[:, None], vol_pos, surf.world_pos)
+        nee_pos = (
+            jnp.where(vol_scatter[:, None], vol_pos, surf.world_pos)
+            if any_media else surf.world_pos
+        )
         use_mesh_nee = flags.enable_mesh_mis and meta.n_emissive > 0
         if use_mesh_nee:
             (state, to_light, light_rgb, light_pdf, light_tri, light_inst) = (
-                lights.sample_emissive_triangle(state, scene, nee_pos, meta.n_emissive)
+                lights.sample_emissive_triangle(
+                    state, scene, nee_pos, meta.n_emissive, has_textures=meta.has_textures
+                )
             )
         else:
             to_light = jnp.zeros((n, 3), jnp.float32)
@@ -281,16 +320,22 @@ def path_trace_sample(
             light_tri = jnp.full(n, -1, jnp.int32)
             light_inst = jnp.full(n, -1, jnp.int32)
 
-        need_sky = (shade | media_scatter | atmo_scatter) & jnp.bool_(flags.enable_sky_mis)
-        need_light = (
-            (shade & ~is_light) | media_scatter
-        ) & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
-        sky_org = jnp.where(
-            vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * 1e-5
-        )
-        light_org = jnp.where(
-            vol_scatter[:, None], vol_pos, surf.world_pos + to_light * 1e-2
-        )
+        if any_media:
+            need_sky = (shade | media_scatter | atmo_scatter) & jnp.bool_(flags.enable_sky_mis)
+            need_light = (
+                (shade & ~is_light) | media_scatter
+            ) & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
+            sky_org = jnp.where(
+                vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * 1e-5
+            )
+            light_org = jnp.where(
+                vol_scatter[:, None], vol_pos, surf.world_pos + to_light * 1e-2
+            )
+        else:
+            need_sky = shade & jnp.bool_(flags.enable_sky_mis)
+            need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
+            sky_org = surf.world_pos + surf.normal * 1e-5
+            light_org = surf.world_pos + to_light * 1e-2
         shadow_org = jnp.concatenate([sky_org, light_org])
         shadow_dir = jnp.concatenate([to_sky, to_light])
         shadow_active = jnp.concatenate([need_sky, need_light])
@@ -354,9 +399,12 @@ def path_trace_sample(
             sky_bxdf, sky_eval_pdf = bsdf_mod.evaluate_bsdf(
                 props, scene, v_tan, sky_tan, flags.use_energy_compensation
             )
-            state, sky_trans = nee_transmittance(
-                state, sky_org, to_sky, jnp.zeros(n, jnp.int32), can_hit_sky, True
-            )
+            if any_media:
+                state, sky_trans = nee_transmittance(
+                    state, sky_org, to_sky, jnp.zeros(n, jnp.int32), can_hit_sky, True
+                )
+            else:
+                sky_trans = 1.0
             sky_ok = can_hit_sky & shade & (sky_pdf > 0.0) & (sky_eval_pdf > 0.0)
             sky_contrib = (
                 sky_bxdf * sky_trans * sky_rgb / jnp.maximum(sky_pdf, 1e-20)[:, None]
@@ -369,9 +417,12 @@ def path_trace_sample(
             l_bxdf, l_eval_pdf = bsdf_mod.evaluate_bsdf(
                 props, scene, v_tan, light_tan, flags.use_energy_compensation
             )
-            state, l_trans = nee_transmittance(
-                state, light_org, to_light, jnp.zeros(n, jnp.int32), can_hit_light, False
-            )
+            if any_media:
+                state, l_trans = nee_transmittance(
+                    state, light_org, to_light, jnp.zeros(n, jnp.int32), can_hit_light, False
+                )
+            else:
+                l_trans = 1.0
             l_ok = can_hit_light & shade & (light_pdf > 0.0) & (l_eval_pdf > 0.0) & ~is_light
             l_contrib = (
                 l_bxdf * l_trans * light_rgb / jnp.maximum(light_pdf, 1e-20)[:, None]
@@ -519,7 +570,7 @@ def path_trace_sample(
         # Contribution + firefly clamp (RayGen.slang:92-102)
         contribution = emitted * c["throughput"]
         # depth becomes 1 after any hit/scatter event at depth 0 -> unclamped
-        no_clamp = (depth == 0) & (surf_lanes | vol_scatter)
+        no_clamp = (depth == 0) & ((surf_lanes | vol_scatter) if any_media else surf_lanes)
         lum = luminance(contribution)
         scale = params.max_luminance / jnp.maximum(lum, params.max_luminance)
         contribution = jnp.where(no_clamp[:, None], contribution, contribution * scale[:, None])
@@ -534,9 +585,10 @@ def path_trace_sample(
         )
         factor = jnp.where(beer_lanes[:, None], factor * beer, factor)
         factor = jnp.where(med_scatter[:, None], c["med_color"], factor)
-        factor = jnp.where(
-            vol_scatter[:, None], vol_bxdf / jnp.maximum(vol_pdf, 1e-20)[:, None], factor
-        )
+        if any_media:
+            factor = jnp.where(
+                vol_scatter[:, None], vol_bxdf / jnp.maximum(vol_pdf, 1e-20)[:, None], factor
+            )
         throughput = c["throughput"] * jnp.where(alive[:, None], factor, 1.0)
 
         new_origin = jnp.where(
@@ -548,18 +600,21 @@ def path_trace_sample(
         new_origin = jnp.where(
             med_scatter[:, None], origin + direction * scat_d[:, None], new_origin
         )
-        new_origin = jnp.where(vol_scatter[:, None], vol_pos, new_origin)
         new_direction = jnp.where(shade[:, None], scatter_world, direction)
         new_direction = jnp.where(med_scatter[:, None], med_dir, new_direction)
-        new_direction = jnp.where(vol_scatter[:, None], vol_dir, new_direction)
-
-        prev_pdf = jnp.where(
-            shade, pdf_s,
-            jnp.where(med_scatter | vol_scatter, jnp.where(vol_scatter, vol_pdf, 1.0), c["prev_pdf"]),
-        )
-        # Medium events don't age the path; surface/volume/atmosphere do.
-        depth = depth + jnp.where(shade | vol_scatter, 1, 0)
-        vol_depth = vol_depth + jnp.where(media_scatter, 1, 0)
+        if any_media:
+            new_origin = jnp.where(vol_scatter[:, None], vol_pos, new_origin)
+            new_direction = jnp.where(vol_scatter[:, None], vol_dir, new_direction)
+            prev_pdf = jnp.where(
+                shade, pdf_s,
+                jnp.where(med_scatter | vol_scatter, jnp.where(vol_scatter, vol_pdf, 1.0), c["prev_pdf"]),
+            )
+            depth = depth + jnp.where(shade | vol_scatter, 1, 0)
+            vol_depth = vol_depth + jnp.where(media_scatter, 1, 0)
+        else:
+            prev_pdf = jnp.where(shade, pdf_s, jnp.where(med_scatter, 1.0, c["prev_pdf"]))
+            # Medium events don't age the path; surface hits do.
+            depth = depth + jnp.where(shade, 1, 0)
         alive = alive & ~missed & ~invalid & (depth < flags.max_depth)
 
         # ------------------------------------------------------------------
@@ -578,12 +633,45 @@ def path_trace_sample(
             + jnp.sum(shadow_active.astype(jnp.float32))
         )
 
+        # ------------------------------------------------------------------
+        # Path regeneration: fold finished paths into the lane accumulator
+        # and immediately start the pixel's next sample in the freed lane.
+        path_end = c["alive"] & ~alive
+        lane_acc = c["lane_acc"] + jnp.where(
+            path_end[:, None], _fold_mask(radiance, channel), 0.0
+        )
+        sample_idx = c["sample_idx"]
+        regen = path_end & (sample_idx + 1 < n_samples)
+        new_sample = jnp.where(regen, sample_idx + 1, sample_idx)
+        rs = rng.seed(pixel_index, new_sample, sample_seed)
+        rs, o_new, d_new = generate_primary_rays(
+            params.view_inverse, params.proj_inverse, pixel_xy, resolution, rs,
+            params.focus_distance, params.dof_strength,
+        )
+        r2 = regen[:, None]
+        new_origin = jnp.where(r2, o_new, new_origin)
+        new_direction = jnp.where(r2, d_new, new_direction)
+        state = jnp.where(regen, rs, state)
+        alive = alive | regen
+        radiance = jnp.where(path_end[:, None], 0.0, radiance)
+        throughput = jnp.where(r2, 1.0, throughput)
+        prev_pdf = jnp.where(regen, 1.0, prev_pdf)
+        depth = jnp.where(regen, 0, depth)
+        in_medium = in_medium & ~regen
+        med_color = jnp.where(r2, 1.0, med_color)
+        med_density = jnp.where(regen, 0.0, med_density)
+        med_aniso = jnp.where(regen, 0.0, med_aniso)
+        channel = jnp.where(regen, -1, channel)
+        vol_depth = jnp.where(regen, 0, vol_depth)
+
         return dict(
             state=state,
             origin=new_origin,
             direction=normalize(new_direction),
             throughput=throughput,
             radiance=radiance,
+            lane_acc=lane_acc,
+            sample_idx=new_sample,
             prev_pdf=prev_pdf,
             depth=depth,
             alive=alive,
@@ -598,41 +686,22 @@ def path_trace_sample(
         )
 
     out = jax.lax.while_loop(cond, body, carry)
-    radiance = out["radiance"]
-    if flags.enable_atmosphere:
-        # Spectrally split paths contribute only their tracked channel
-        # (RayGen.slang:118-128)
-        ch = out["channel"]
-        chan_mask = jnp.where(
-            (ch < 0)[:, None],
-            jnp.ones((n, 3), jnp.float32),
-            (jnp.arange(3)[None, :] == ch[:, None]).astype(jnp.float32),
-        )
-        radiance = radiance * chan_mask
-    # Per-path NaN/Inf rejection (RayGen.slang:116)
-    finite = jnp.all(jnp.isfinite(radiance), axis=-1)
-    return jnp.where(finite[:, None], radiance, 0.0), out["segments"]
+    # Paths truncated by the iteration cap fold here with what they have.
+    lane_acc = out["lane_acc"] + jnp.where(
+        out["alive"][:, None], _fold_mask(out["radiance"], out["channel"]), 0.0
+    )
+    return lane_acc, out["segments"]
 
 
 def render_samples(
     scene, meta, flags: RenderFlags, params: RenderParams,
     pixel_xy, pixel_index, resolution, frame_seed, n_samples: int,
 ):
-    """Average `n_samples` independent paths per pixel (RayGen.slang:33-130)."""
-
-    def body(i, carry):
-        acc, segs = carry
-        sample_seed = rng.pcg_hash(jnp.uint32(frame_seed) + jnp.uint32(i) * jnp.uint32(0x85EBCA6B))
-        r, s = path_trace_sample(
-            scene, meta, flags, params, pixel_xy, pixel_index, resolution, sample_seed
-        )
-        return acc + r, segs + s
-
-    acc, segs = jax.lax.fori_loop(
-        0,
-        n_samples,
-        body,
-        (jnp.zeros((pixel_xy.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
+    """Average `n_samples` paths per pixel (RayGen.slang:33-130), using
+    wavefront path regeneration to keep lanes occupied."""
+    acc, segs = path_trace_sample(
+        scene, meta, flags, params, pixel_xy, pixel_index, resolution,
+        jnp.uint32(frame_seed), n_samples=n_samples,
     )
     return acc / n_samples, segs
 

@@ -137,7 +137,7 @@ def sample_sun_disk(state, sun_color, environment_intensity, azimuth_deg, altitu
     return state, to_light, color, pdf
 
 
-def sample_emissive_triangle(state, scene, position, n_emissive: int):
+def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textures: bool = True):
     """Uniform mesh -> uniform triangle -> uniform barycentric NEE sample
     (SampleEmissiveTriangle, Sampler.slang:348-422).
 
@@ -193,10 +193,11 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int):
 
     mat_id = em.material[mesh_idx]
     color = scene.materials.emissive_color[mat_id]
-    from vpt_tpu.render.surface import sample_texture
+    if has_textures:
+        from vpt_tpu.render.surface import sample_texture
 
-    tex = sample_texture(
-        scene.textures, scene.texture_dims, scene.materials.emissive_texture[mat_id], uv
-    )
-    color = color * tex[..., :3]
+        tex = sample_texture(
+            scene.textures, scene.texture_dims, scene.materials.emissive_texture[mat_id], uv
+        )
+        color = color * tex[..., :3]
     return state, to_light, color, pdf, tri_idx, em.instance[mesh_idx]

@@ -65,7 +65,9 @@ def sample_texture(textures, tex_dims, tex_id, uv):
     return top * (1 - fy) + bot * fy
 
 
-def make_surface(scene, hit, ray_dir, use_only_geometry_normals: bool) -> SurfaceGeom:
+def make_surface(
+    scene, hit, ray_dir, use_only_geometry_normals: bool, has_textures: bool = True
+) -> SurfaceGeom:
     """Surface.slang:26-117 for a whole wavefront.
 
     `hit.tri` must be clamped to a valid slot for missed lanes by the caller
@@ -104,7 +106,7 @@ def make_surface(scene, hit, ray_dir, use_only_geometry_normals: bool) -> Surfac
     tangent = normalize(cross(up, n))
     bitangent = normalize(cross(n, tangent))
 
-    if not use_only_geometry_normals:
+    if not use_only_geometry_normals and has_textures:
         # Normal mapping (Surface.slang:85-90); slot 1 default is flat.
         mat_id = scene.tri_mat[slot]
         ntex = scene.materials.normal_texture[mat_id]

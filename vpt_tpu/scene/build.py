@@ -352,6 +352,9 @@ def compile_scene(scene: Scene, lookup_tables=None):
         n_volumes=0,
         n_het_volumes=0,
         use_brute_force=n_tris <= BRUTE_FORCE_MAX_TRIS,
+        has_textures=any(
+            t.shape[0] > 1 or t.shape[1] > 1 for t in scene.textures
+        ),
         name=scene.name,
     )
 

@@ -261,4 +261,5 @@ class SceneMeta:
     n_volumes: int
     n_het_volumes: int
     use_brute_force: bool  # small scene: skip BVH, test all triangles
+    has_textures: bool = True  # False: only 1x1 defaults -> skip all fetches
     name: str = "scene"
