@@ -52,3 +52,18 @@ def test_sharded_matches_single_chip_statistically(cornell_setup):
     )
     a, b = float(np.asarray(img_a).mean()), float(np.asarray(img_b).mean())
     assert abs(a - b) / max(a, 1e-6) < 0.25
+
+
+def test_tiled_final_frame(cornell_setup):
+    """High-spp band-tiled rendering (split-screen chunking analogue)."""
+    from vpt_tpu.dist.mesh import render_tiled_final_frame
+
+    data, meta, flags, params = cornell_setup
+    mesh = make_mesh(tile=4, spp=2)
+    img, segs = render_tiled_final_frame(
+        data, meta, flags, params, (16, 16), n_samples=2, mesh=mesh, tile_rows=2
+    )
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+    assert segs > 0
