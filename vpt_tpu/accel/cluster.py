@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from vpt_tpu.accel.bvh import FlatBVH
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 
-CLUSTER_SIZE = 128  # tris per cluster — native VPU lane width
+CLUSTER_SIZE = 1024  # tris per cluster: amortizes the per-visit scalar overhead
 PACKET_SIZE = 128  # rays per packet
 CULL_CHUNK = 128  # clusters per cull chunk; bounds the (N, chunk) transient
 VISITS_PER_STEP = 4  # clusters each packet processes per visit-loop step
@@ -42,9 +42,10 @@ class ClusterData(NamedTuple):
     aabb_max: jnp.ndarray  # (C, 3)
     start: jnp.ndarray  # (C,) i32 — offset into reordered tri arrays
     count: jnp.ndarray  # (C,) i32 — triangles in the cluster (<= K)
-    tris: jnp.ndarray  # (C, 9, K) dense blocks [p0.xyz, e1.xyz, e2.xyz] rows,
-    # component-major so per-axis slices keep triangles in VPU lanes and a
-    # whole cluster is one contiguous DMA for the Pallas visit kernel.
+    tris: jnp.ndarray  # (C, 16, K) dense blocks: rows 0-8 = [p0.xyz, e1.xyz,
+    # e2.xyz], rows 9-15 padding (8-row DMA alignment).  Component-major so
+    # per-axis slices keep triangles in VPU lanes and a whole cluster is one
+    # contiguous DMA for the Pallas visit kernel.
 
     @property
     def p0(self):
@@ -137,9 +138,17 @@ def build_clusters(
         p0[ci, : e - s] = tri_p0[s:e]
         e1[ci, : e - s] = tri_e1[s:e]
         e2[ci, : e - s] = tri_e2[s:e]
-    # Component-major (C, 9, K): per-axis slices keep triangles in VPU lanes.
+    # Component-major (C, 16, K): rows 0-8 are p0/e1/e2 components, rows 9-15
+    # zero padding (DMA slices must be 8-row aligned on TPU); per-axis slices
+    # keep triangles in VPU lanes.
     tris = np.concatenate(
-        [p0.transpose(0, 2, 1), e1.transpose(0, 2, 1), e2.transpose(0, 2, 1)], axis=1
+        [
+            p0.transpose(0, 2, 1),
+            e1.transpose(0, 2, 1),
+            e2.transpose(0, 2, 1),
+            np.zeros((c, 7, k), np.float32),
+        ],
+        axis=1,
     )
     return ClusterData(
         aabb_min=jnp.asarray(cmin),

@@ -34,12 +34,12 @@ def _visit_kernel(
     act_ref,  # (1, 1, pk) i32
     cnt_ref,  # (1, C) i32 — per-cluster triangle counts
     base_ref,  # (1, C) i32 — per-cluster start slot
-    tris_ref,  # (C, 9, K) f32 in HBM/ANY — manual DMA
+    tris_ref,  # (C, 16, K) f32 in HBM — manual DMA (rows 9-15 padding)
     t_out,  # (1, 1, pk) f32
     tri_out,  # (1, 1, pk) i32
     u_out,  # (1, 1, pk) f32
     v_out,  # (1, 1, pk) f32
-    buf,  # (2, 9, K) f32 VMEM scratch
+    buf,  # (2, 16, K) f32 VMEM scratch
     sem,  # (2,) DMA semaphores
 ):
     pk = o_ref.shape[1]
@@ -55,7 +55,7 @@ def _visit_kernel(
         cid = order_ref[0, 0, w]
         return pltpu.make_async_copy(tris_ref.at[cid], buf.at[slot], sem.at[slot])
 
-    dma(0, 0).start()
+    cont0 = entry_ref[0, 0, 0] < t_max
 
     # Ray columns (pk, 1); triangles broadcast along lanes.
     o_col = o_ref[0]  # (pk, 3)
@@ -71,13 +71,10 @@ def _visit_kernel(
 
     def body(state):
         w, _ = state
-        slot = jax.lax.rem(w, 2)
-
-        @pl.when(w + 1 < cp)
-        def _():
-            dma(1 - slot, w + 1).start()
-
-        dma(slot, w).wait()
+        slot = jnp.int32(0)
+        d0 = dma(slot, w)
+        d0.start()
+        d0.wait()
         blk = buf[slot]  # (9, K)
         p0x, p0y, p0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
         e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
@@ -140,15 +137,7 @@ def _visit_kernel(
         cont = (w2 < cp) & (nxt < cap)
         return w2, cont
 
-    cont0 = entry_ref[0, 0, 0] < t_max
-    w_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), cont0))
-
-    # Drain: exactly one DMA is still in flight when the loop exits early —
-    # the warm-up copy (loop never entered) or the last body's prefetch, both
-    # for index w_end — unless w_end walked off the end of the list.
-    @pl.when(w_end < cp)
-    def _():
-        dma(jax.lax.rem(w_end, 2), w_end).wait()
+    jax.lax.while_loop(cond, body, (jnp.int32(0), cont0))
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "t_max", "interpret"))
@@ -193,7 +182,9 @@ def visit_pallas(
             pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # Cluster blocks stay in HBM and are DMA'd per visit (letting the
+            # compiler pick VMEM breaks dynamic first-dim slicing in Mosaic).
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
@@ -203,7 +194,7 @@ def visit_pallas(
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 9, k), jnp.float32),
+            pltpu.VMEM((2, 16, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -307,6 +307,60 @@ class Renderer:
         assert name in ("hg", "draine", "hg_draine")
         self._flag(phase_function=name)
 
+    # Atmosphere parameter setters (PathTracer.h:168-179)
+    def set_planet_position(self, pos) -> None:
+        self._param(planet_position=jnp.asarray(pos, jnp.float32))
+
+    def set_planet_radius(self, r: float) -> None:
+        self._param(planet_radius=r)
+
+    def set_atmosphere_height(self, h: float) -> None:
+        self._param(atmosphere_height=h)
+
+    def set_rayleigh_scattering_multiplier(self, m) -> None:
+        self._param(rayleigh_scattering_multiplier=jnp.asarray(m, jnp.float32))
+
+    def set_mie_scattering_multiplier(self, m) -> None:
+        self._param(mie_scattering_multiplier=jnp.asarray(m, jnp.float32))
+
+    def set_ozone_absorption_multiplier(self, m) -> None:
+        self._param(ozone_absorption_multiplier=jnp.asarray(m, jnp.float32))
+
+    def set_rayleigh_density_falloff(self, v: float) -> None:
+        self._param(rayleigh_density_falloff=v)
+
+    def set_mie_density_falloff(self, v: float) -> None:
+        self._param(mie_density_falloff=v)
+
+    def set_ozone_density_falloff(self, v: float) -> None:
+        self._param(ozone_density_falloff=v)
+
+    def set_ozone_peak(self, v: float) -> None:
+        self._param(ozone_peak=v)
+
+    def set_env_map(self, env) -> None:
+        """SetEnvMapFilepath (PathTracer.cpp:1137-1332): path to an HDR or an
+        (H, W, 3) array; rebuilds the alias map and resets accumulation."""
+        from vpt_tpu.scene.envmap import load_hdr, prepare_environment
+        from vpt_tpu.scene.types import EnvMapData
+
+        if isinstance(env, str):
+            env = load_hdr(env)
+        data = prepare_environment(np.asarray(env, np.float32))
+        self._scene_host.env_map = np.asarray(env, np.float32)
+        self.scene_data = self.scene_data._replace(
+            env=EnvMapData(*(jnp.asarray(x) for x in data))
+        )
+        self.reset_path_tracing()
+
+    @property
+    def total_vertex_count(self) -> int:
+        return int(sum(m.positions.shape[0] for m in self._scene_host.meshes))
+
+    @property
+    def total_index_count(self) -> int:
+        return int(sum(m.indices.shape[0] for m in self._scene_host.meshes))
+
     def set_material(self, index: int, material: Material) -> None:
         """SetMaterial (PathTracer.cpp:1010-…): update one material in place."""
         self._scene_host.materials[index] = material
