@@ -170,16 +170,22 @@ def intersect_clusters(
     packet: int = PACKET_SIZE,
     use_pallas: bool | None = None,
 ) -> Hit:
-    """Closest-hit intersection of a ray wavefront against the cluster set."""
+    """Closest-hit intersection of a ray wavefront against the cluster set.
+
+    `t_max` may be a scalar or a per-ray (N,) array — shadow rays pass the
+    distance to their light sample so any_hit queries stop short of it."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     n_orig = origin.shape[0]
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+    t_max_hi = float(T_MAX)
     pad = (-n_orig) % packet
     if pad:
         origin = jnp.concatenate([origin, jnp.full((pad, 3), 1e9, jnp.float32)])
         direction = jnp.concatenate(
             [direction, jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
         )
+        tmax_arr = jnp.concatenate([tmax_arr, jnp.full(pad, t_min, jnp.float32)])
         if active is not None:
             active = jnp.concatenate([active, jnp.zeros(pad, bool)])
     n = origin.shape[0]
@@ -249,8 +255,9 @@ def intersect_clusters(
         tf_hi = jnp.minimum(tf_hi, far_hi)
 
     real_cluster = (jnp.arange(c_padded) < c)[None, :]
+    tmax_pk = jnp.max(jnp.where(act_p, tmax_arr.reshape(n_pk, packet), 0.0), axis=1)
     may_hit = (
-        (tn_lo <= tf_hi) & (tf_hi >= t_min) & (tn_lo < t_max)
+        (tn_lo <= tf_hi) & (tf_hi >= t_min) & (tn_lo < tmax_pk[:, None])
         & any_act[:, None] & real_cluster
     )
     entry = jnp.where(may_hit, jnp.maximum(tn_lo, t_min), jnp.inf)  # (P, Cp)
@@ -268,8 +275,9 @@ def intersect_clusters(
         d_p = direction.reshape(n_pk, packet, 3)
         bt, btri, bu, bv = visit_pallas(
             order, entry_sorted, o_p, d_p, act_p,
+            tmax_arr.reshape(n_pk, packet),
             cl.count, cl.start, cl.tris,
-            any_hit=any_hit, t_min=float(t_min), t_max=float(t_max),
+            any_hit=any_hit, t_min=float(t_min), t_max=t_max_hi,
         )
         best_t = bt.reshape(n)
         best_tri = btri.reshape(n)
@@ -302,7 +310,7 @@ def intersect_clusters(
 
     init = (
         jnp.int32(0),  # window index
-        jnp.full(n, jnp.float32(t_max)),  # best_t
+        tmax_arr,  # best_t starts at the per-ray max distance
         jnp.full(n, -1, jnp.int32),  # best_tri
         jnp.zeros(n, jnp.float32),  # u
         jnp.zeros(n, jnp.float32),  # v
@@ -367,7 +375,6 @@ def intersect_clusters(
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t > t_min)
-            & (t < t_max)
             & do_mask
             & in_range
             & (t < bt_p[:, :, None])

@@ -68,9 +68,12 @@ def intersect_brute(origin, direction, tri_p0, tri_e1, tri_e2, t_min=T_MIN, t_ma
 
     origin/direction: (N, 3); tri arrays: (T, 3).  O(N*T) VPU work — use for
     scenes up to a few thousand triangles or as a reference oracle.
-    """
+    `t_max` may be per-ray (N,)."""
     o = origin[:, None, :]
     d = direction[:, None, :]
+    t_max = jnp.asarray(t_max, jnp.float32)
+    if t_max.ndim == 1:
+        t_max = t_max[:, None]
     t, u, v, valid = _moller_trumbore(o, d, tri_p0[None], tri_e1[None], tri_e2[None], t_min, t_max)
     t_masked = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t_masked, axis=1)

@@ -32,6 +32,7 @@ def _visit_kernel(
     o_ref,  # (1, pk, 3) f32
     d_ref,  # (1, pk, 3) f32
     act_ref,  # (1, 1, pk) i32
+    tmax_ref,  # (1, 1, pk) f32 — per-ray max distance (shadow rays stop short)
     cnt_ref,  # (1, C) i32 — per-cluster triangle counts
     base_ref,  # (1, C) i32 — per-cluster start slot
     tris_ref,  # (C, 16, K) f32 in HBM — manual DMA (rows 9-15 padding)
@@ -46,7 +47,7 @@ def _visit_kernel(
     k = buf.shape[2]
     cp = order_ref.shape[2]
 
-    t_out[...] = jnp.full((1, 1, pk), t_max, jnp.float32)
+    t_out[...] = tmax_ref[...]
     tri_out[...] = jnp.full((1, 1, pk), -1, jnp.int32)
     u_out[...] = jnp.zeros((1, 1, pk), jnp.float32)
     v_out[...] = jnp.zeros((1, 1, pk), jnp.float32)
@@ -147,6 +148,7 @@ def visit_pallas(
     o_p,  # (P, pk, 3)
     d_p,  # (P, pk, 3)
     act_p,  # (P, pk) bool
+    tmax_p,  # (P, pk) f32 per-ray max distance
     cnt,  # (C,) i32
     base,  # (C,) i32
     tris,  # (C, 9, K) f32
@@ -180,6 +182,7 @@ def visit_pallas(
             pl.BlockSpec((1, pk, 3), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pk, 3), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             # Cluster blocks stay in HBM and are DMA'd per visit (letting the
@@ -204,6 +207,7 @@ def visit_pallas(
         o_p,
         d_p,
         act_p.astype(jnp.int32).reshape(n_pk, 1, pk),
+        tmax_p.reshape(n_pk, 1, pk),
         cnt.reshape(1, c),
         base.reshape(1, c),
         tris,

@@ -31,9 +31,13 @@ from vpt_tpu.accel import traverse
 from vpt_tpu.render.params import RenderFlags, RenderParams
 
 
-def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN, t_max=traverse.T_MAX):
+def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
+          t_max=traverse.T_MAX, any_hit: bool = False):
     """Dispatch to fused brute-force (small scenes) or the cluster-culled
-    wavefront intersector (vpt_tpu.accel.cluster) for large ones."""
+    wavefront intersector (vpt_tpu.accel.cluster) for large ones.
+
+    `t_max` may be per-ray; with `any_hit` a ray stops at its first hit
+    (shadow queries report blocked iff t >= 0)."""
     if meta.use_brute_force:
         n_real = meta.n_tris  # exclude padding
         hit = traverse.intersect_brute(
@@ -65,9 +69,10 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN, t_max=tr
     key = (morton << 3) | octant
     key = jnp.where(active, key, jnp.int32(1 << 30))
     perm = jnp.argsort(key, stable=True)
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (origin.shape[0],))
     hit_s = intersect_clusters(
-        origin[perm], direction[perm], scene.clusters, t_min, t_max,
-        active=active[perm],
+        origin[perm], direction[perm], scene.clusters, t_min, tmax_arr[perm],
+        active=active[perm], any_hit=any_hit,
     )
     inv = jnp.argsort(perm)
     return traverse.Hit(
@@ -308,7 +313,7 @@ def path_trace_sample(
         )
         use_mesh_nee = flags.enable_mesh_mis and meta.n_emissive > 0
         if use_mesh_nee:
-            (state, to_light, light_rgb, light_pdf, light_tri, light_inst) = (
+            (state, to_light, light_rgb, light_pdf, light_tri, light_inst, light_dist) = (
                 lights.sample_emissive_triangle(
                     state, scene, nee_pos, meta.n_emissive, has_textures=meta.has_textures
                 )
@@ -319,6 +324,7 @@ def path_trace_sample(
             light_pdf = jnp.zeros(n, jnp.float32)
             light_tri = jnp.full(n, -1, jnp.int32)
             light_inst = jnp.full(n, -1, jnp.int32)
+            light_dist = jnp.zeros(n, jnp.float32)
 
         if any_media:
             need_sky = (shade | media_scatter | atmo_scatter) & jnp.bool_(flags.enable_sky_mis)
@@ -339,14 +345,21 @@ def path_trace_sample(
         shadow_org = jnp.concatenate([sky_org, light_org])
         shadow_dir = jnp.concatenate([to_sky, to_light])
         shadow_active = jnp.concatenate([need_sky, need_light])
-        shadow_hit = trace(scene, meta, shadow_org, shadow_dir, shadow_active)
-        sky_blocked = shadow_hit.t[:n] >= 0.0
-        lh_slot = jnp.clip(shadow_hit.tri[n:], 0, scene.tri_p0.shape[0] - 1)
-        light_visible = (
-            (shadow_hit.t[n:] >= 0.0)
-            & (scene.tri_local[lh_slot] == light_tri)
-            & (scene.tri_inst[lh_slot] == light_inst)
+        # Shadow rays are any-hit queries: the light ray's t_max stops just
+        # short of the sampled point (the reference instead compares the hit
+        # triangle id, RayGen.slang:300-301; distance-epsilon is equivalent
+        # up to grazing-angle epsilons and lets every ray exit at its first
+        # blocker).  Offsets: origin already moved 1e-2 along the ray.
+        shadow_tmax = jnp.concatenate(
+            [jnp.full(n, traverse.T_MAX, jnp.float32),
+             jnp.maximum(light_dist - 2e-2, traverse.T_MIN)]
         )
+        shadow_hit = trace(
+            scene, meta, shadow_org, shadow_dir, shadow_active,
+            t_max=shadow_tmax, any_hit=True,
+        )
+        sky_blocked = shadow_hit.t[:n] >= 0.0
+        light_visible = shadow_hit.t[n:] < 0.0
         can_hit_sky = need_sky & ~sky_blocked
         can_hit_light = need_light & light_visible
 

@@ -141,7 +141,8 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
     """Uniform mesh -> uniform triangle -> uniform barycentric NEE sample
     (SampleEmissiveTriangle, Sampler.slang:348-422).
 
-    Returns (state, to_light, color (N,3), pdf (N,), local_tri, instance).
+    Returns (state, to_light, color (N,3), pdf (N,), local_tri, instance,
+    distance).
     """
     shape = position.shape[:-1]
     if n_emissive == 0:
@@ -153,6 +154,7 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
             z,
             jnp.full(shape, -1, jnp.int32),
             jnp.full(shape, -1, jnp.int32),
+            z,
         )
 
     em = scene.emissive
@@ -200,4 +202,4 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
             scene.textures, scene.texture_dims, scene.materials.emissive_texture[mat_id], uv
         )
         color = color * tex[..., :3]
-    return state, to_light, color, pdf, tri_idx, em.instance[mesh_idx]
+    return state, to_light, color, pdf, tri_idx, em.instance[mesh_idx], jnp.sqrt(dist_sq)
