@@ -273,9 +273,11 @@ def intersect_clusters(
         from vpt_tpu.accel.visit_kernel import visit_pallas
 
         d_p = direction.reshape(n_pk, packet, 3)
+        aabbs = jnp.concatenate([cl.aabb_min, cl.aabb_max], axis=1)  # (C, 6)
         bt, btri, bu, bv = visit_pallas(
             order, entry_sorted, o_p, d_p, act_p,
             tmax_arr.reshape(n_pk, packet),
+            aabbs,
             cl.count, cl.start, cl.tris,
             any_hit=any_hit, t_min=float(t_min), t_max=t_max_hi,
         )

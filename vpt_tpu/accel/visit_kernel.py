@@ -33,6 +33,7 @@ def _visit_kernel(
     d_ref,  # (1, pk, 3) f32
     act_ref,  # (1, 1, pk) i32
     tmax_ref,  # (1, 1, pk) f32 — per-ray max distance (shadow rays stop short)
+    aabb_ref,  # (1, 6C) f32 — per-cluster [minx,miny,minz,maxx,maxy,maxz]
     cnt_ref,  # (1, C) i32 — per-cluster triangle counts
     base_ref,  # (1, C) i32 — per-cluster start slot
     tris_ref,  # (C, 16, K) f32 in HBM — manual DMA (rows 9-15 padding)
@@ -73,6 +74,41 @@ def _visit_kernel(
     def body(state):
         w, _ = state
         slot = jnp.int32(0)
+        cid = order_ref[0, 0, w]
+        # Exact per-ray slab test against this cluster's AABB: when no ray in
+        # the packet enters the box before its current best hit, skip the
+        # whole DMA + triangle block (most candidates die here — the phase-1
+        # cull is only bundle-conservative).
+        bt0 = t_out[...].reshape(pk, 1)
+        tn = jnp.full((pk, 1), t_min, jnp.float32)
+        tf = bt0
+        for ax, (oc, dc) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+            bmn = aabb_ref[0, 6 * cid + ax]
+            bmx = aabb_ref[0, 6 * cid + 3 + ax]
+            inv = 1.0 / jnp.where(jnp.abs(dc) > 1e-20, dc, 1e-20)
+            s0 = (bmn - oc) * inv
+            s1 = (bmx - oc) * inv
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+        ray_hits_box = (tn <= tf) & act
+        packet_hits = jnp.any(ray_hits_box)
+
+        @pl.when(packet_hits)
+        def _do_cluster():
+            _test_cluster(w, slot, ray_hits_box)
+
+        w2 = w + 1
+        bt_now = t_out[...].reshape(pk, 1)
+        if any_hit:
+            live = act & (tri_out[...].reshape(pk, 1) < 0)
+        else:
+            live = act
+        cap = jnp.max(jnp.where(live, bt_now, 0.0))
+        nxt = entry_ref[0, 0, jnp.minimum(w2, cp - 1)]
+        cont = (w2 < cp) & (nxt < cap)
+        return w2, cont
+
+    def _test_cluster(w, slot, ray_hits_box):
         d0 = dma(slot, w)
         d0.start()
         d0.wait()
@@ -110,6 +146,7 @@ def _visit_kernel(
             & (t < bt)
             & (lane < cnt)
             & act
+            & ray_hits_box
         )
         t_masked = jnp.where(valid, t, jnp.inf)
         t_best = jnp.min(t_masked, axis=1, keepdims=True)  # (pk, 1)
@@ -127,17 +164,6 @@ def _visit_kernel(
         u_out[...] = jnp.where(better, u_best, u_out[...].reshape(pk, 1)).reshape(1, 1, pk)
         v_out[...] = jnp.where(better, v_best, v_out[...].reshape(pk, 1)).reshape(1, 1, pk)
 
-        # Continue? Next candidate must start before some live ray's best.
-        w2 = w + 1
-        if any_hit:
-            live = act & (tri_out[...].reshape(pk, 1) < 0)
-        else:
-            live = act
-        cap = jnp.max(jnp.where(live, new_t, 0.0))
-        nxt = entry_ref[0, 0, jnp.minimum(w2, cp - 1)]
-        cont = (w2 < cp) & (nxt < cap)
-        return w2, cont
-
     jax.lax.while_loop(cond, body, (jnp.int32(0), cont0))
 
 
@@ -149,6 +175,7 @@ def visit_pallas(
     d_p,  # (P, pk, 3)
     act_p,  # (P, pk) bool
     tmax_p,  # (P, pk) f32 per-ray max distance
+    aabbs,  # (C, 6) f32 cluster bounds [min, max]
     cnt,  # (C,) i32
     base,  # (C,) i32
     tris,  # (C, 9, K) f32
@@ -183,6 +210,7 @@ def visit_pallas(
             pl.BlockSpec((1, pk, 3), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, pk), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6 * c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             # Cluster blocks stay in HBM and are DMA'd per visit (letting the
@@ -208,6 +236,7 @@ def visit_pallas(
         d_p,
         act_p.astype(jnp.int32).reshape(n_pk, 1, pk),
         tmax_p.reshape(n_pk, 1, pk),
+        aabbs.reshape(1, 6 * c),
         cnt.reshape(1, c),
         base.reshape(1, c),
         tris,
