@@ -6,14 +6,14 @@ to K contiguous triangles (subtree cuts, so each cluster is one dense slice
 of the DFS-reordered triangle arrays) and intersect with a two-phase
 wavefront scheme built from operations TPUs are good at:
 
-1. **Cull** — every ray slab-tests every cluster AABB (fused elementwise,
-   chunked to bound transients), immediately reduced to a per-*packet*
-   (64 rays) entry distance: (P, C) table, no (N, C) materialization.
-2. **Visit loop** — each iteration, every still-active packet visits its
-   nearest unvisited cluster: one contiguous (K, 3)x3 block gather per
-   packet, then a fully vectorized Möller–Trumbore of 64 rays x K triangles.
-   A packet stops when its next cluster starts beyond every ray's current
-   best hit.
+1. **Cull** — a conservative interval-arithmetic slab test of each 128-ray
+   packet bundle against every cluster AABB: a (P, C) entry-distance table,
+   no (N, C) materialization.
+2. **Visit** — each packet marches its entry-sorted candidate list in the
+   Pallas kernel (vpt_tpu.accel.visit_kernel): exact per-ray AABB pre-test,
+   then one contiguous cluster DMA + a (128 rays x K tris) Möller–Trumbore
+   block, stopping when the next candidate starts beyond every live ray's
+   best hit.  A pure-XLA visit loop below serves as the CPU/test fallback.
 
 This replaces both the hardware BVH (PathTracer.cpp:433-502) and
 TraceRay/RayQuery (RTCommon.slang:47-117).  Ordering/earliest-hit semantics
