@@ -81,6 +81,7 @@ def test_set_material_updates_table(renderer):
     r.set_material(1, old)
 
 
+@pytest.mark.slow
 def test_resize_and_render(renderer):
     r = renderer
     r.resize_image(16, 24)
@@ -97,6 +98,7 @@ def test_sync_fly_camera(renderer):
     assert r.frame_count == 0  # reset triggered
 
 
+@pytest.mark.slow
 def test_export_filename_embeds_stats(tmp_path, renderer):
     r = renderer
     r.reset_path_tracing()

@@ -1,4 +1,6 @@
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from vpt_tpu.core import rng
@@ -71,6 +73,7 @@ def test_scatter_distance_component_stats():
     assert (comps == atmo.COMPONENT_RAYLEIGH).mean() > 0.5
 
 
+@pytest.mark.slow
 def test_atmosphere_render_blue_sky():
     """Path-traced sky: upward-looking pixels should be blue-dominant."""
     import dataclasses

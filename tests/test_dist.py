@@ -26,6 +26,7 @@ def test_eight_device_mesh_available():
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_sharded_render_finite(cornell_setup, shape):
     data, meta, flags, params = cornell_setup
     mesh = make_mesh(tile=shape[0], spp=shape[1])
@@ -39,6 +40,7 @@ def test_sharded_render_finite(cornell_setup, shape):
     assert float(segs) > 0
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_chip_statistically(cornell_setup):
     """Mean image brightness should agree between mesh shapes (same estimator)."""
     data, meta, flags, params = cornell_setup
@@ -54,6 +56,7 @@ def test_sharded_matches_single_chip_statistically(cornell_setup):
     assert abs(a - b) / max(a, 1e-6) < 0.25
 
 
+@pytest.mark.slow
 def test_tiled_final_frame(cornell_setup):
     """High-spp band-tiled rendering (split-screen chunking analogue)."""
     from vpt_tpu.dist.mesh import render_tiled_final_frame

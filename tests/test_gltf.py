@@ -46,6 +46,7 @@ def test_load_viking_room_textured():
     assert 0.0 <= tex.min() and tex.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_cornell_renders(tmp_path):
     from vpt_tpu.api import Renderer
     from vpt_tpu.render.params import RenderFlags

@@ -27,6 +27,7 @@ def _render_cornell(spp=32):
     return r.hdr_image()
 
 
+@pytest.mark.slow
 def test_cornell_golden():
     """Render must stay statistically identical to the committed golden."""
     img = _render_cornell()
@@ -42,6 +43,7 @@ def test_cornell_golden():
     assert s > 0.98, f"SSIM vs golden: {s:.4f}"
 
 
+@pytest.mark.slow
 def test_brute_vs_cluster_paths_agree():
     """The two independent intersection backends must produce the same
     image (same estimator, same seeds)."""
@@ -63,6 +65,7 @@ def test_brute_vs_cluster_paths_agree():
     assert p > 40.0, f"brute vs cluster PSNR {p:.1f} dB"
 
 
+@pytest.mark.slow
 def test_tonemapped_golden_png():
     """Export path end-to-end: tonemap + PNG encode/decode roundtrip."""
     from vpt_tpu.io.image import load_png, save_png

@@ -16,6 +16,7 @@ def cornell_renderer():
     )
 
 
+@pytest.mark.slow
 def test_cornell_renders_finite_nonzero(cornell_renderer):
     r = cornell_renderer
     r.reset_path_tracing()
@@ -75,6 +76,7 @@ def test_checkpoint_roundtrip(tmp_path, cornell_renderer):
     assert r.frame_count == 1
 
 
+@pytest.mark.slow
 def test_furnace_energy_conservation():
     """Furnace test (Material.slang:78-86 + Miss.slang:61-65): a white
     diffuse sphere in a uniform unit-radiance furnace must be invisible —

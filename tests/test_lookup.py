@@ -12,6 +12,7 @@ def reflect_table():
     return bake_reflection_table(n_samples=512)
 
 
+@pytest.mark.slow
 def test_reflection_albedo_properties(reflect_table):
     t = reflect_table  # (32 aniso, 64 roughness, 64 v.z)
     assert t.shape == (32, 64, 64)
@@ -26,6 +27,7 @@ def test_reflection_albedo_properties(reflect_table):
     assert col[-1] < col[2]
 
 
+@pytest.mark.slow
 def test_refraction_table_properties():
     t = bake_refraction_table(above_surface=True, n_samples=256)
     assert t.shape == (32, 128, 128)
@@ -34,6 +36,7 @@ def test_refraction_table_properties():
     assert t[8, 2, 64:].mean() > 0.9
 
 
+@pytest.mark.slow
 def test_furnace_energy_compensation_improves_rough_metal():
     """A rough metal in a furnace loses multi-scatter energy without
     compensation; the lookup tables must recover most of it

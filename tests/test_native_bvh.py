@@ -80,6 +80,7 @@ def test_native_matches_numpy_traversal_results():
     assert agree.mean() > 0.99
 
 
+@pytest.mark.slow
 def test_native_speed_advantage():
     v0, v1, v2 = _random_tris(120_000, seed=5)
     t0 = time.perf_counter()

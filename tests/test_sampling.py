@@ -1,4 +1,6 @@
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from vpt_tpu.core import rng
@@ -70,6 +72,7 @@ def test_hg_plus_draine_is_weighted_mixture():
         assert abs(got - want) < 1e-4 * max(1.0, want)
 
 
+@pytest.mark.slow
 def test_hg_sampling_matches_phase():
     """Sampled cosθ histogram should match the HG phase function."""
     g = 0.5

@@ -71,6 +71,7 @@ def test_heterogeneous_matches_homogeneous_for_constant_grid():
     assert abs(float(np.asarray(tr).mean()) - np.exp(-3.0)) < 0.02
 
 
+@pytest.mark.slow
 def test_volume_render_smoke():
     """Cornell + a scattering box: image stays finite and the volume darkens
     and scatters light (mean changes vs no volume)."""
@@ -94,6 +95,7 @@ def test_volume_render_smoke():
     assert abs(float(foggy.mean()) - float(base.mean())) > 1e-4
 
 
+@pytest.mark.slow
 def test_heterogeneous_volume_render_smoke():
     from vpt_tpu.api import Renderer
     from vpt_tpu.render.params import RenderFlags

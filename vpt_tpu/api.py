@@ -381,7 +381,11 @@ class Renderer:
     def resize_image(self, width: int, height: int) -> None:
         self.width, self.height = width, height
         self._accum = jnp.zeros((height, width, 3), jnp.float32)
-        self.reset_path_tracing()
+        # Rebuild the projection for the new aspect ratio (the reference
+        # recreates its output image + UBO matrices on resize,
+        # PathTracer.cpp ResizeImage) — otherwise the render is stretched.
+        self.camera.aspect = width / height
+        self.set_camera(proj=self.camera.proj_matrix())
 
     # --------------------------------------------------------------- volumes
     # AddVolume / SetVolume / RemoveVolume (PathTracer.cpp:1334-…)

@@ -30,8 +30,11 @@ def tiled_pixel_order(width: int, height: int):
     px = (tx[:, :, None, None] * TILE + ix[None, None]).reshape(-1)
     py = (ty[:, :, None, None] * TILE + iy[None, None]).reshape(-1)
     pixel_xy = np.stack([px, py], axis=-1).astype(np.float32)
-    # Reference RNG seeding uses y + width*x (RayGen.slang:28).
-    pixel_index = (py + width * px).astype(np.uint32)
+    # RNG stream id.  The reference seeds with y + width*x (RayGen.slang:28),
+    # which collides for portrait resolutions (pairs with y1-y2 = width*(x2-x1)
+    # share a stream); we use the collision-free row-major x + width*y —
+    # only sampler statistics match the reference, not bit patterns.
+    pixel_index = (px + width * py).astype(np.uint32)
     scatter = (py.astype(np.int64) * wp + px.astype(np.int64))
     return pixel_xy, pixel_index, scatter, (wp, hp)
 

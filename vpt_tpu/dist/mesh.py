@@ -11,10 +11,9 @@ first-class component: a 2D `jax.sharding.Mesh` with axes
   progressive accumulation, RayGen.slang:132-141).
 
 Determinism: RNG seeds are a pure function of (pixel index, sample index),
-with sample indices offset by the chip's ``spp`` coordinate — so an
-``(T, S)`` mesh render draws exactly the sample set of a single-chip render
-with T·S× the per-chip work, and results are independent of the mesh shape
-in expectation.
+with sample indices offset by ``spp_coord * local_samples`` — so an
+``(T, S)`` mesh render draws exactly the sample set of a single-chip
+``n_samples`` render, and results are independent of the mesh shape.
 
 The scene is fully replicated (it is read-only; Sponza-scale scene data is
 ~100 MB, far below per-chip HBM).
@@ -34,7 +33,6 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from vpt_tpu.core import rng as rng_mod
 from vpt_tpu.render import integrator
 
 
@@ -52,8 +50,49 @@ def make_mesh(devices: Sequence[jax.Device] | None = None, tile: int | None = No
 def pixel_grid(width: int, height: int):
     ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
     pixel_xy = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.float32)
-    pixel_index = (ys.reshape(-1) + width * xs.reshape(-1)).astype(np.uint32)
+    # Collision-free row-major RNG stream ids (see core/tiling.py).
+    pixel_index = (xs.reshape(-1) + width * ys.reshape(-1)).astype(np.uint32)
     return pixel_xy, pixel_index
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_step(mesh: Mesh, meta, flags, resolution, local_samples: int):
+    """One jitted sharded render step, cached on its static configuration.
+
+    Traced args: (scene_data, params, pixel_xy, pixel_index, frame_seed) —
+    reusable across bands/frames without recompiling (seeds and pixel
+    coordinates are data, not constants)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        # P() / P("tile", ...) are tree-prefixes: the scalar spec replicates
+        # the whole scene/params pytrees.
+        in_specs=(P(), P(), P("tile", None), P("tile"), P()),
+        out_specs=(P("tile", None), P()),
+        check_vma=False,
+    )
+    def shard_fn(scene_local, params_local, pxy, pidx, frame_seed):
+        spp_idx = jax.lax.axis_index("spp")
+        # Offset sample indices by the chip's spp coordinate so the union over
+        # chips is exactly the single-chip sample set [0, n_samples).
+        offset = spp_idx.astype(jnp.uint32) * jnp.uint32(local_samples)
+        radiance, segs = integrator.render_samples(
+            scene_local, meta, flags, params_local, pxy, pidx, resolution,
+            frame_seed, local_samples, sample_offset=offset,
+        )
+        radiance = jax.lax.pmean(radiance, "spp")
+        segs = jax.lax.psum(jax.lax.psum(segs, "spp"), "tile")
+        return radiance, segs
+
+    return jax.jit(shard_fn)
+
+
+def _check_divisible(n_samples: int, n_spp: int, n_pixels: int, n_tile: int):
+    assert n_samples >= n_spp and n_samples % n_spp == 0, (
+        f"n_samples ({n_samples}) must be a positive multiple of the spp axis ({n_spp})"
+    )
+    assert n_pixels % n_tile == 0, "pixel count must divide across the tile axis"
 
 
 def render_sharded(
@@ -75,41 +114,15 @@ def render_sharded(
     width, height = resolution
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
-    assert n_samples % n_spp == 0, "n_samples must divide across the spp axis"
+    _check_divisible(n_samples, n_spp, width * height, n_tile)
     local_samples = n_samples // n_spp
-    n_pixels = width * height
-    assert n_pixels % n_tile == 0, "pixel count must divide across the tile axis"
 
     pixel_xy, pixel_index = pixel_grid(width, height)
-    pixel_xy = jnp.asarray(pixel_xy)
-    pixel_index = jnp.asarray(pixel_index)
-
-    scene_spec = jax.tree_util.tree_map(lambda _: P(), scene_data)
-    params_spec = jax.tree_util.tree_map(lambda _: P(), params)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(scene_spec, params_spec, P("tile", None), P("tile")),
-        out_specs=(P("tile", None), P()),
-        check_vma=False,
+    step = _sharded_step(mesh, meta, flags, resolution, local_samples)
+    radiance, segs = step(
+        scene_data, params, jnp.asarray(pixel_xy), jnp.asarray(pixel_index),
+        jnp.uint32(frame_seed),
     )
-    def shard_fn(scene_local, params_local, pxy, pidx):
-        spp_idx = jax.lax.axis_index("spp")
-        # Offset the sample seed stream by this chip's spp coordinate so the
-        # union over chips equals a single-chip n_samples render.
-        seed = rng_mod.pcg_hash(
-            jnp.uint32(frame_seed) + spp_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-        )
-        radiance, segs = integrator.render_samples(
-            scene_local, meta, flags, params_local, pxy, pidx, resolution, seed, local_samples
-        )
-        radiance = jax.lax.pmean(radiance, "spp")
-        segs = jax.lax.psum(segs, "spp")
-        segs = jax.lax.psum(segs, "tile")
-        return radiance, segs
-
-    radiance, segs = jax.jit(shard_fn)(scene_data, params, pixel_xy, pixel_index)
     return radiance.reshape(height, width, 3), segs
 
 
@@ -120,49 +133,30 @@ def render_tiled_final_frame(
     """High-res / high-spp final frame: host-side loop over row bands, each
     band rendered sharded (the TPU analogue of the reference's split-screen
     chunking, PathTracer.cpp:141-152, which bounds per-dispatch device time).
+
+    All bands share ONE compiled executable: band pixel coordinates and the
+    frame seed are traced arguments of the cached sharded step.
     """
     width, height = resolution
     assert height % tile_rows == 0
     band_h = height // tile_rows
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    _check_divisible(n_samples, n_spp, band_h * width, n_tile)
+    local_samples = n_samples // n_spp
+    step = _sharded_step(mesh, meta, flags, resolution, local_samples)
+
     out = np.zeros((height, width, 3), np.float32)
     total_segs = 0.0
     for b in range(tile_rows):
-        band_params = params
-        # Render the full frame's band by offsetting pixel rows.
         ys = np.arange(b * band_h, (b + 1) * band_h)
         xs = np.arange(width)
         gy, gx = np.meshgrid(ys, xs, indexing="ij")
         pixel_xy = jnp.asarray(
             np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
         )
-        pixel_index = jnp.asarray((gy.reshape(-1) + width * gx.reshape(-1)).astype(np.uint32))
-
-        n_tile = mesh.shape["tile"]
-        n_spp = mesh.shape["spp"]
-        local_samples = n_samples // n_spp
-        scene_spec = jax.tree_util.tree_map(lambda _: P(), scene_data)
-        params_spec = jax.tree_util.tree_map(lambda _: P(), band_params)
-
-        @functools.partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(scene_spec, params_spec, P("tile", None), P("tile")),
-            out_specs=(P("tile", None), P()),
-            check_vma=False,
-        )
-        def shard_fn(scene_local, params_local, pxy, pidx):
-            spp_idx = jax.lax.axis_index("spp")
-            seed = rng_mod.pcg_hash(
-                jnp.uint32(frame_seed + b) + spp_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            )
-            radiance, segs = integrator.render_samples(
-                scene_local, meta, flags, params_local, pxy, pidx, resolution, seed, local_samples
-            )
-            return jax.lax.pmean(radiance, "spp"), jax.lax.psum(
-                jax.lax.psum(segs, "spp"), "tile"
-            )
-
-        band, segs = jax.jit(shard_fn)(scene_data, band_params, pixel_xy, pixel_index)
+        pixel_index = jnp.asarray((gx.reshape(-1) + width * gy.reshape(-1)).astype(np.uint32))
+        band, segs = step(scene_data, params, pixel_xy, pixel_index, jnp.uint32(frame_seed))
         out[b * band_h : (b + 1) * band_h] = np.asarray(band).reshape(band_h, width, 3)
         total_segs += float(segs)
     return out, total_segs

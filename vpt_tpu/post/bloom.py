@@ -68,7 +68,8 @@ def bloom(image, threshold=1.5, strength=0.5, falloff_range=0.5, mip_levels=10):
     """
     h, w = image.shape[0], image.shape[1]
     levels = []
-    cur = threshold_extract(image, threshold, falloff_range)
+    base = threshold_extract(image, threshold, falloff_range)
+    cur = base
     size = min(h, w)
     n = 0
     while size >= 2 and n < mip_levels:
@@ -77,10 +78,11 @@ def bloom(image, threshold=1.5, strength=0.5, falloff_range=0.5, mip_levels=10):
         size //= 2
         n += 1
     if not levels:
-        return jnp.zeros_like(image)
+        return base
     acc = levels[-1]
     for lvl in reversed(levels[:-1]):
         acc = upsample_add(acc, lvl, strength)
-    # Final upsample back to full resolution
-    full = upsample_add(acc, jnp.zeros_like(image), strength)
-    return full
+    # Final upsample adds into the thresholded full-res image — mip 0 of the
+    # reference's chain (BloomDownSample FirstDispatch writes BloomViews[0],
+    # BloomUpSample accumulates into it, Tonemap.slang:169 reads it).
+    return upsample_add(acc, base, strength)

@@ -102,6 +102,7 @@ def path_trace_sample(
     resolution,  # (width, height) static
     sample_seed: jnp.ndarray,  # scalar uint32 frame seed
     n_samples: int = 1,
+    sample_offset=0,  # first sample index (spp-sharded renders offset this)
 ):
     """Trace `n_samples` paths per pixel with wavefront regeneration: the
     moment a lane's path terminates, it starts that pixel's next sample
@@ -111,7 +112,8 @@ def path_trace_sample(
 
     Returns ((N, 3) summed radiance over samples, segment count)."""
     n = pixel_xy.shape[0]
-    state = rng.seed(pixel_index, 0, sample_seed)
+    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
+    state = rng.seed(pixel_index, sample_offset, sample_seed)
 
     state, origin, direction = generate_primary_rays(
         params.view_inverse, params.proj_inverse, pixel_xy, resolution, state,
@@ -656,7 +658,7 @@ def path_trace_sample(
         sample_idx = c["sample_idx"]
         regen = path_end & (sample_idx + 1 < n_samples)
         new_sample = jnp.where(regen, sample_idx + 1, sample_idx)
-        rs = rng.seed(pixel_index, new_sample, sample_seed)
+        rs = rng.seed(pixel_index, new_sample.astype(jnp.uint32) + sample_offset, sample_seed)
         rs, o_new, d_new = generate_primary_rays(
             params.view_inverse, params.proj_inverse, pixel_xy, resolution, rs,
             params.focus_distance, params.dof_strength,
@@ -709,12 +711,13 @@ def path_trace_sample(
 def render_samples(
     scene, meta, flags: RenderFlags, params: RenderParams,
     pixel_xy, pixel_index, resolution, frame_seed, n_samples: int,
+    sample_offset=0,
 ):
     """Average `n_samples` paths per pixel (RayGen.slang:33-130), using
     wavefront path regeneration to keep lanes occupied."""
     acc, segs = path_trace_sample(
         scene, meta, flags, params, pixel_xy, pixel_index, resolution,
-        jnp.uint32(frame_seed), n_samples=n_samples,
+        jnp.uint32(frame_seed), n_samples=n_samples, sample_offset=sample_offset,
     )
     return acc / n_samples, segs
 
