@@ -66,9 +66,10 @@ def test_importance_sampling_prefers_bright_texels():
 def test_env_radiance_rotation_roundtrip():
     img = np.random.default_rng(3).uniform(0, 1, (16, 32, 3)).astype(np.float32)
     env0 = prepare_environment(img)
-    image = jnp.asarray(env0.image)
+    from vpt_tpu.scene.types import EnvMapData
+    env = EnvMapData(*(jnp.asarray(x) for x in env0))
     d = jnp.asarray(np.array([[0.0, 0.3, -0.95]], np.float32))
     d = d / jnp.linalg.norm(d)
-    base = lights.env_radiance(image, d, 0.0, 0.0)
-    rot = lights.env_radiance(image, d, 360.0, 0.0)
+    base = lights.env_radiance(env, d, 0.0, 0.0)
+    rot = lights.env_radiance(env, d, 360.0, 0.0)
     np.testing.assert_allclose(np.asarray(base), np.asarray(rot), atol=1e-3)

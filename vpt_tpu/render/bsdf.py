@@ -47,39 +47,40 @@ class MaterialProps(NamedTuple):
 
 
 def make_material(
-    scene, mat_id, uv, hit_from_inside, furnace_test_mode: bool,
+    scene, mat_row, uv, hit_from_inside, furnace_test_mode: bool,
     has_textures: bool = True,
 ) -> MaterialProps:
-    m = scene.materials
-    base = m.base_color[mat_id]
-    rough = m.roughness[mat_id]
-    metal = m.metallic[mat_id]
-    emissive = m.emissive_color[mat_id]
+    """`mat_row` is the (N, MAT_ATTR_COLS) packed material gather performed
+    by make_surface (see vpt_tpu.scene.types MAT_ATTR layout) — no further
+    per-lane table lookups happen here."""
+    base = mat_row[:, 0:3]
+    emissive = mat_row[:, 3:6]
+    specular = mat_row[:, 6:9]
+    medium_color = mat_row[:, 9:12]
+    medium_emissive = mat_row[:, 12:15]
+    metal = mat_row[:, 15]
+    rough = mat_row[:, 16]
     if has_textures:
         tex_base = sample_texture(
-            scene.textures, scene.texture_dims, m.base_color_texture[mat_id], uv
+            scene.textures, scene.texture_dims, mat_row[:, 23].astype(jnp.int32), uv
         )
         base = base * jnp.power(jnp.maximum(tex_base[:, :3], 0.0), 2.2)
         rough = rough * sample_texture(
-            scene.textures, scene.texture_dims, m.roughness_texture[mat_id], uv
+            scene.textures, scene.texture_dims, mat_row[:, 25].astype(jnp.int32), uv
         )[:, 0]
         metal = metal * sample_texture(
-            scene.textures, scene.texture_dims, m.metallic_texture[mat_id], uv
+            scene.textures, scene.texture_dims, mat_row[:, 26].astype(jnp.int32), uv
         )[:, 0]
         emissive = emissive * sample_texture(
-            scene.textures, scene.texture_dims, m.emissive_texture[mat_id], uv
+            scene.textures, scene.texture_dims, mat_row[:, 27].astype(jnp.int32), uv
         )[:, :3]
 
-    ior = jnp.maximum(m.ior[mat_id], 1.000001)
-    aniso = m.anisotropy[mat_id]
+    ior = jnp.maximum(mat_row[:, 17], 1.000001)
+    aniso = mat_row[:, 19]
     aspect = jnp.sqrt(1.0 - jnp.sqrt(jnp.maximum(aniso, 0.0)) * 0.9)
     ax = jnp.maximum(1e-5, rough / aspect)
     ay = jnp.maximum(1e-5, rough * aspect)
     eta = jnp.where(hit_from_inside, ior, 1.0 / ior)
-
-    specular = m.specular_color[mat_id]
-    medium_color = m.medium_color[mat_id]
-    medium_emissive = m.medium_emissive_color[mat_id]
     if furnace_test_mode:
         base = jnp.ones_like(base)
         emissive = jnp.zeros_like(emissive)
@@ -96,11 +97,11 @@ def make_material(
         metallic=metal,
         roughness=rough,
         ior=ior,
-        transmission=m.transmission[mat_id],
+        transmission=mat_row[:, 18],
         anisotropy=aniso,
-        anisotropy_rotation=m.anisotropy_rotation[mat_id],
-        medium_density=m.medium_density[mat_id],
-        medium_anisotropy=m.medium_anisotropy[mat_id],
+        anisotropy_rotation=mat_row[:, 20],
+        medium_density=mat_row[:, 21],
+        medium_anisotropy=mat_row[:, 22],
         eta=eta,
         ax=ax,
         ay=ay,

@@ -18,8 +18,13 @@ Everything is under one jit; no data-dependent Python control flow.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Experiment knob: dynamic morton/octant ray sorting before each trace.
+_SORT_RAYS = os.environ.get("VPT_SORT_RAYS", "1") == "1"
 
 from vpt_tpu.core import rng
 from vpt_tpu.core.camera import generate_primary_rays
@@ -32,7 +37,7 @@ from vpt_tpu.render.params import RenderFlags, RenderParams
 
 
 def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
-          t_max=traverse.T_MAX, any_hit: bool = False):
+          t_max=traverse.T_MAX, any_hit: bool = False, sort_rays: bool = True):
     """Dispatch to fused brute-force (small scenes) or the cluster-culled
     wavefront intersector (vpt_tpu.accel.cluster) for large ones.
 
@@ -52,9 +57,19 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
         )
     from vpt_tpu.accel.cluster import intersect_clusters
 
+    n = origin.shape[0]
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if not sort_rays:
+        return intersect_clusters(
+            origin, direction, scene.clusters, t_min, tmax_arr,
+            active=active, any_hit=any_hit,
+        )
     # Sort rays by (origin cell morton, direction octant) with dead lanes
-    # last.  Spatially-tight, direction-coherent packets visit far fewer
-    # clusters; the sort+unsort costs ~0.1 ms.
+    # last — spatially-tight, direction-coherent packets visit far fewer
+    # clusters.  The permutation is applied by CARRYING the ray payload
+    # through a multi-operand lax.sort (and carrying the hit back through a
+    # second sort on the lane id): per-lane gathers are ~0.4 ms each on TPU,
+    # so argsort+apply costs ~10x more than the payload-carrying sort.
     cmin = jnp.min(scene.clusters.aabb_min, axis=0)
     cmax = jnp.max(scene.clusters.aabb_max, axis=0)
     extent = jnp.maximum(cmax - cmin, 1e-6)
@@ -68,16 +83,21 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
     )
     key = (morton << 3) | octant
     key = jnp.where(active, key, jnp.int32(1 << 30))
-    perm = jnp.argsort(key, stable=True)
-    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (origin.shape[0],))
+    lane = jax.lax.iota(jnp.int32, n)
+    (_, lane_s, ox, oy, oz, dx, dy, dz, tm, act) = jax.lax.sort(
+        (key, lane, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         tmax_arr, active),
+        num_keys=1, is_stable=True,
+    )
     hit_s = intersect_clusters(
-        origin[perm], direction[perm], scene.clusters, t_min, tmax_arr[perm],
-        active=active[perm], any_hit=any_hit,
+        jnp.stack([ox, oy, oz], axis=-1), jnp.stack([dx, dy, dz], axis=-1),
+        scene.clusters, t_min, tm, active=act, any_hit=any_hit,
     )
-    inv = jnp.argsort(perm)
-    return traverse.Hit(
-        t=hit_s.t[inv], tri=hit_s.tri[inv], u=hit_s.u[inv], v=hit_s.v[inv]
+    (_, t_u, tri_u, u_u, v_u) = jax.lax.sort(
+        (lane_s, hit_s.t, hit_s.tri, hit_s.u, hit_s.v), num_keys=1, is_stable=True
     )
+    return traverse.Hit(t=t_u, tri=tri_u, u=u_u, v=v_u)
 
 
 def _morton3_16(x, y, z):
@@ -173,7 +193,7 @@ def path_trace_sample(
             below = atmo.atmosphere_height(params, origin) < 0.0
             alive = alive & ~below
 
-        hit = trace(scene, meta, origin, direction, alive)
+        hit = trace(scene, meta, origin, direction, alive, sort_rays=_SORT_RAYS)
         hit_found = hit.t >= 0.0
 
         # ------------------------------------------------------------------
@@ -234,7 +254,7 @@ def path_trace_sample(
         # miss shader contributes nothing (Miss.slang:11-14).
         if not flags.enable_atmosphere:
             env_rgba = lights.env_radiance(
-                scene.env.image, direction, params.sky_rotation_azimuth, params.sky_rotation_altitude
+                scene.env, direction, params.sky_rotation_azimuth, params.sky_rotation_altitude
             )
             env_rgb = env_rgba[:, :3] * params.environment_intensity
             if not flags.show_env_map_directly:
@@ -277,7 +297,7 @@ def path_trace_sample(
             has_textures=meta.has_textures,
         )
         props = bsdf_mod.make_material(
-            scene, surf.mat_id, surf.uv, surf.hit_from_inside, flags.furnace_test_mode,
+            scene, surf.mat_row, surf.uv, surf.hit_from_inside, flags.furnace_test_mode,
             has_textures=meta.has_textures,
         )
         surf = surface_mod.rotate_tangents(surf, props.anisotropy_rotation)
@@ -358,7 +378,7 @@ def path_trace_sample(
         )
         shadow_hit = trace(
             scene, meta, shadow_org, shadow_dir, shadow_active,
-            t_max=shadow_tmax, any_hit=True,
+            t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
         )
         sky_blocked = shadow_hit.t[:n] >= 0.0
         light_visible = shadow_hit.t[n:] < 0.0
@@ -564,10 +584,9 @@ def path_trace_sample(
             bsdf_hit_light = shade & (depth > 0) & is_light
             dist_sq = dot(surf.world_pos - origin, surf.world_pos - origin)
             cos_t = jnp.abs(dot(surf.normal, normalize(origin - surf.world_pos)))
-            entry = scene.emissive.inst_to_entry[jnp.clip(surf.instance, 0, None)]
-            tcount = jnp.where(
-                entry >= 0, scene.emissive.tri_count[jnp.maximum(entry, 0)], 1
-            ).astype(jnp.float32)
+            # Per-triangle emissive count baked into tri_attr (col 27) — no
+            # inst_to_entry / tri_count gather chain.
+            tcount = jnp.maximum(surf.em_tcount, 1.0)
             em_total = jnp.float32(max(meta.n_emissive, 1))
             light_sampling_pdf = (
                 (1.0 / em_total)

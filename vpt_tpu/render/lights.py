@@ -21,8 +21,13 @@ SUN_THETA = 0.004675  # radians (Sampler.slang:469)
 SUN_RADIANCE_SCALE = 2e5  # Sampler.slang:459
 
 
-def _env_bilinear(env_image, u, v):
-    """Bilinear env fetch, wrap-u / clamp-v, returning RGBA (pdf in alpha)."""
+def _env_bilinear(env, u, v):
+    """Bilinear env fetch, wrap-u / clamp-v, returning RGBA (pdf in alpha).
+
+    `env` is EnvMapData (or anything with .image/.quad).  When the
+    precomputed 2x2 quad layout is available the fetch is ONE row gather;
+    otherwise four corner gathers (large envs skip the 4x quad memory)."""
+    env_image = env.image
     h, w = env_image.shape[0], env_image.shape[1]
     x = u * w - 0.5
     y = jnp.clip(v, 0.0, 1.0) * h - 0.5
@@ -31,17 +36,21 @@ def _env_bilinear(env_image, u, v):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
-    x1i = jnp.mod(x0i + 1, w)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    t00 = env_image[y0i, x0i]
-    t10 = env_image[y0i, x1i]
-    t01 = env_image[y1i, x0i]
-    t11 = env_image[y1i, x1i]
+    if env.quad.shape[0] == h:
+        q = env.quad.reshape(h * w, 16)[y0i * w + x0i]
+        t00, t10, t01, t11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
+    else:
+        x1i = jnp.mod(x0i + 1, w)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        t00 = env_image[y0i, x0i]
+        t10 = env_image[y0i, x1i]
+        t01 = env_image[y1i, x0i]
+        t11 = env_image[y1i, x1i]
     return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (t01 * (1 - fx) + t11 * fx) * fy
 
 
-def env_radiance(env_image, direction, azimuth_deg, altitude_deg):
+def env_radiance(env, direction, azimuth_deg, altitude_deg):
     """Miss-shader env lookup with inverse sky rotation (Miss.slang:18-57).
 
     Returns RGBA; alpha is the stored sampling PDF for MIS.
@@ -54,7 +63,7 @@ def env_radiance(env_image, direction, azimuth_deg, altitude_deg):
     theta = jnp.arctan2(d[..., 0], -d[..., 2])
     u = theta * (0.5 / jnp.pi) + 0.5
     v = gamma * (1.0 / jnp.pi) + 0.5
-    return _env_bilinear(env_image, u, v)
+    return _env_bilinear(env, u, v)
 
 
 def importance_sample_env(state, env, azimuth_deg, altitude_deg, shape):
@@ -69,8 +78,9 @@ def importance_sample_env(state, env, azimuth_deg, altitude_deg, shape):
 
     state, xi = rng.next_float3(state)
     idx = jnp.minimum((xi[..., 0] * size).astype(jnp.int32), size - 1)
-    imp = env.alias_importance[idx]
-    ali = env.alias_index[idx]
+    arow = env.alias[idx]  # packed [importance, index] — one gather
+    imp = arow[..., 0]
+    ali = arow[..., 1].astype(jnp.int32)
 
     take_self = xi[..., 1] < imp
     env_idx = jnp.where(take_self, idx, ali)
@@ -101,7 +111,7 @@ def importance_sample_env(state, env, azimuth_deg, altitude_deg, shape):
     to_light = rotate_axis_angle(to_light, Y_AXIS, az)
     to_light = rotate_axis_angle(to_light, X_AXIS, al)
 
-    rgba = _env_bilinear(img, u, v)
+    rgba = _env_bilinear(env, u, v)
     return state, to_light, rgba
 
 
@@ -160,14 +170,18 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
     em = scene.emissive
     state, u_mesh = rng.next_float(state)
     mesh_idx = jnp.minimum((u_mesh * n_emissive).astype(jnp.int32), n_emissive - 1)
-    tri_count = em.tri_count[mesh_idx]
+    em_row = em.attr[mesh_idx]  # (N, 4): [tri_count, offset, instance, material]
+    tri_count_f = em_row[..., 0]
     state, u_tri = rng.next_float(state)
-    tri_idx = jnp.minimum((u_tri * tri_count.astype(jnp.float32)).astype(jnp.int32), tri_count - 1)
+    tri_idx = jnp.minimum(
+        (u_tri * tri_count_f).astype(jnp.int32), tri_count_f.astype(jnp.int32) - 1
+    )
 
-    slot = em.slot_table[em.offset[mesh_idx] + tri_idx]
-    p0 = scene.tri_p0[slot]
-    e1 = scene.tri_e1[slot]
-    e2 = scene.tri_e2[slot]
+    slot = em.slot_table[em_row[..., 1].astype(jnp.int32) + tri_idx]
+    row = scene.tri_attr[slot]  # one packed gather: p0/e1/e2 + uvs
+    p0 = row[..., 0:3]
+    e1 = row[..., 3:6]
+    e2 = row[..., 6:9]
 
     state, xi = rng.next_float2(state)
     su1 = jnp.sqrt(xi[..., 0])
@@ -177,9 +191,9 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
     # p = b0*v0 + b1*v1 + b2*v2 with v1 = p0+e1, v2 = p0+e2
     tri_pos = p0 + b1[..., None] * e1 + b2[..., None] * e2
     uv = (
-        scene.tri_uv0[slot] * b0[..., None]
-        + scene.tri_uv1[slot] * b1[..., None]
-        + scene.tri_uv2[slot] * b2[..., None]
+        row[..., 18:20] * b0[..., None]
+        + row[..., 20:22] * b1[..., None]
+        + row[..., 22:24] * b2[..., None]
     )
 
     to_light = normalize(tri_pos - position)
@@ -189,17 +203,21 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
 
     dist_sq = dot(tri_pos - position, tri_pos - position)
     cos_theta = jnp.abs(dot(normal, to_light))
-    denom = n_emissive * tri_count.astype(jnp.float32) * area * cos_theta
+    denom = n_emissive * tri_count_f * area * cos_theta
     pdf = dist_sq / jnp.maximum(denom, 1e-20)
     pdf = jnp.where(denom > 0.0, pdf, 0.0)
 
-    mat_id = em.material[mesh_idx]
-    color = scene.materials.emissive_color[mat_id]
+    mat_id = em_row[..., 3].astype(jnp.int32)
+    mat_row = scene.materials.attr[mat_id]
+    color = mat_row[..., 3:6]
     if has_textures:
         from vpt_tpu.render.surface import sample_texture
 
         tex = sample_texture(
-            scene.textures, scene.texture_dims, scene.materials.emissive_texture[mat_id], uv
+            scene.textures, scene.texture_dims, mat_row[..., 27].astype(jnp.int32), uv
         )
         color = color * tex[..., :3]
-    return state, to_light, color, pdf, tri_idx, em.instance[mesh_idx], jnp.sqrt(dist_sq)
+    return (
+        state, to_light, color, pdf, tri_idx,
+        em_row[..., 2].astype(jnp.int32), jnp.sqrt(dist_sq),
+    )

@@ -24,10 +24,12 @@ class SurfaceGeom(NamedTuple):
     geom_normal: jnp.ndarray  # (N, 3)
     hit_from_inside: jnp.ndarray  # (N,) bool
     mat_id: jnp.ndarray  # (N,) i32
+    mat_row: jnp.ndarray  # (N, MAT_ATTR_COLS) packed material attributes
     local_tri: jnp.ndarray  # (N,) i32 PrimitiveIndex equivalent
     instance: jnp.ndarray  # (N,) i32
     tri_slot: jnp.ndarray  # (N,) i32 reordered global slot
     area: jnp.ndarray  # (N,) world-space triangle area
+    em_tcount: jnp.ndarray  # (N,) f32 emissive tri count of the instance (0 = not emissive)
 
 
 def sample_texture(textures, tex_dims, tex_id, uv):
@@ -71,17 +73,23 @@ def make_surface(
     """Surface.slang:26-117 for a whole wavefront.
 
     `hit.tri` must be clamped to a valid slot for missed lanes by the caller
-    (results are masked out downstream).
+    (results are masked out downstream).  All per-triangle attributes come
+    from ONE (N, 32) row gather of scene.tri_attr, and the material
+    attributes from one (N, 32) row gather of materials.attr — per-lane
+    gathers dominate TPU shading time, so this is the hot path's layout.
     """
     slot = hit.tri
-    p0 = scene.tri_p0[slot]
-    e1 = scene.tri_e1[slot]
-    e2 = scene.tri_e2[slot]
+    row = scene.tri_attr[slot]  # (N, 32)
+    p0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
     u = hit.u[:, None]
     v = hit.v[:, None]
 
     world_pos = p0 + u * e1 + v * e2
-    uv = scene.tri_uv0[slot] * (1.0 - u - v) + scene.tri_uv1[slot] * u + scene.tri_uv2[slot] * v
+    uv = row[:, 18:20] * (1.0 - u - v) + row[:, 20:22] * u + row[:, 22:24] * v
+    mat_id = row[:, 24].astype(jnp.int32)
+    mat_row = scene.materials.attr[mat_id]  # (N, 32)
 
     geom_n = normalize(cross(e1, e2))
     area = 0.5 * jnp.sqrt(jnp.maximum(dot(cross(e1, e2), cross(e1, e2)), 0.0))
@@ -90,7 +98,7 @@ def make_surface(
         n = geom_n
     else:
         n = normalize(
-            scene.tri_n0[slot] * (1.0 - u - v) + scene.tri_n1[slot] * u + scene.tri_n2[slot] * v
+            row[:, 9:12] * (1.0 - u - v) + row[:, 12:15] * u + row[:, 15:18] * v
         )
 
     view = -ray_dir
@@ -108,8 +116,7 @@ def make_surface(
 
     if not use_only_geometry_normals and has_textures:
         # Normal mapping (Surface.slang:85-90); slot 1 default is flat.
-        mat_id = scene.tri_mat[slot]
-        ntex = scene.materials.normal_texture[mat_id]
+        ntex = mat_row[:, 24].astype(jnp.int32)
         nval = sample_texture(scene.textures, scene.texture_dims, ntex, uv)[:, :3] * 2.0 - 1.0
         n = normalize(nval[:, 0:1] * tangent + nval[:, 1:2] * bitangent + nval[:, 2:3] * n)
 
@@ -140,11 +147,13 @@ def make_surface(
         bitangent=bitangent,
         geom_normal=geom_n,
         hit_from_inside=inside,
-        mat_id=scene.tri_mat[slot],
-        local_tri=scene.tri_local[slot],
-        instance=scene.tri_inst[slot],
+        mat_id=mat_id,
+        mat_row=mat_row,
+        local_tri=row[:, 25].astype(jnp.int32),
+        instance=row[:, 26].astype(jnp.int32),
         tri_slot=slot,
         area=area,
+        em_tcount=row[:, 27],
     )
 
 

@@ -150,7 +150,26 @@ def build_material_table(materials) -> MaterialTable:
     def arri(field):
         return jnp.asarray(np.array([getattr(m, field) for m in materials], np.int32))
 
+    from vpt_tpu.scene.types import MAT_ATTR_COLS
+
+    attr = np.zeros((len(materials), MAT_ATTR_COLS), np.float32)
+    for i, m in enumerate(materials):
+        attr[i, 0:3] = m.base_color
+        attr[i, 3:6] = m.emissive_color
+        attr[i, 6:9] = m.specular_color
+        attr[i, 9:12] = m.medium_color
+        attr[i, 12:15] = m.medium_emissive_color
+        attr[i, 15:23] = [
+            m.metallic, m.roughness, m.ior, m.transmission, m.anisotropy,
+            m.anisotropy_rotation, m.medium_density, m.medium_anisotropy,
+        ]
+        attr[i, 23:28] = [
+            m.base_color_texture, m.normal_texture, m.roughness_texture,
+            m.metallic_texture, m.emissive_texture,
+        ]
+
     return MaterialTable(
+        attr=jnp.asarray(attr),
         base_color=arr3("base_color"),
         emissive_color=arr3("emissive_color"),
         specular_color=arr3("specular_color"),
@@ -282,6 +301,9 @@ def compile_scene(scene: Scene, lookup_tables=None):
     slot_table = np.concatenate(slots) if slots else np.zeros(1, np.int32)
 
     emissive = EmissiveTable(
+        attr=jnp.asarray(
+            np.stack([em_cnt, em_off, em_inst, em_mat], axis=-1).astype(np.float32)
+        ),
         instance=jnp.asarray(em_inst),
         material=jnp.asarray(em_mat),
         tri_count=jnp.asarray(em_cnt),
@@ -312,19 +334,36 @@ def compile_scene(scene: Scene, lookup_tables=None):
     else:
         lut_reflect, lut_refr_out, lut_refr_in = (jnp.asarray(t) for t in lookup_tables)
 
+    # ---- packed per-triangle attribute rows (single-gather shading) -------
+    from vpt_tpu.scene.types import TRI_ATTR_COLS
+
+    em_tcount_by_inst = np.zeros(len(scene.instances), np.float32)
+    for e, ii in enumerate(em_instances):
+        em_tcount_by_inst[ii] = float(em_cnt[e])
+    tp = tri_p0.shape[0]
+    tri_attr = np.zeros((tp, TRI_ATTR_COLS), np.float32)
+    tri_attr[:, 0:3] = tri_p0
+    tri_attr[:, 3:6] = tri_e1
+    tri_attr[:, 6:9] = tri_e2
+    tri_attr[:, 9:12] = reorder_pad(n0)
+    tri_attr[:, 12:15] = reorder_pad(n1)
+    tri_attr[:, 15:18] = reorder_pad(n2)
+    tri_attr[:, 18:20] = reorder_pad(uv0)
+    tri_attr[:, 20:22] = reorder_pad(uv1)
+    tri_attr[:, 22:24] = reorder_pad(uv2)
+    tri_attr[:, 24] = reorder_pad(tri_mat, 0).astype(np.float32)
+    tri_attr[:, 25] = reorder_pad(tri_local, -1).astype(np.float32)
+    inst_padded = reorder_pad(tri_inst, -1)
+    tri_attr[:, 26] = inst_padded.astype(np.float32)
+    tri_attr[:, 27] = np.where(
+        inst_padded >= 0, em_tcount_by_inst[np.maximum(inst_padded, 0)], 0.0
+    )
+
     data = SceneData(
         tri_p0=jnp.asarray(tri_p0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
-        tri_n0=jnp.asarray(reorder_pad(n0)),
-        tri_n1=jnp.asarray(reorder_pad(n1)),
-        tri_n2=jnp.asarray(reorder_pad(n2)),
-        tri_uv0=jnp.asarray(reorder_pad(uv0)),
-        tri_uv1=jnp.asarray(reorder_pad(uv1)),
-        tri_uv2=jnp.asarray(reorder_pad(uv2)),
-        tri_mat=jnp.asarray(reorder_pad(tri_mat, 0)),
-        tri_local=jnp.asarray(reorder_pad(tri_local, -1)),
-        tri_inst=jnp.asarray(reorder_pad(tri_inst, -1)),
+        tri_attr=jnp.asarray(tri_attr),
         clusters=clusters,
         bvh=BVHData(
             nodes_min=jnp.asarray(bvh.aabb_min),

@@ -86,7 +86,21 @@ def prepare_environment(image: np.ndarray) -> EnvMapData:
     else:
         pdf = np.zeros_like(brightness)
     out = np.concatenate([rgb, pdf[..., None]], axis=-1).astype(np.float32)
-    return EnvMapData(image=out, alias_index=alias, alias_importance=imp)
+
+    # 2x2 neighborhoods for single-gather bilinear fetches (wrap-u, clamp-v);
+    # skip for very large envs where the 4x duplication would be wasteful.
+    if h * w <= 2 * 1024 * 1024:
+        xr = np.concatenate([out[:, 1:], out[:, :1]], axis=1)  # x+1 wrapped
+        yd = np.concatenate([out[1:], out[-1:]], axis=0)  # y+1 clamped
+        ydxr = np.concatenate([yd[:, 1:], yd[:, :1]], axis=1)
+        quad = np.concatenate([out, xr, yd, ydxr], axis=-1).astype(np.float32)
+    else:
+        quad = np.zeros((1, 1, 16), np.float32)
+    return EnvMapData(
+        image=out, alias_index=alias, alias_importance=imp,
+        alias=np.stack([imp, alias.astype(np.float32)], axis=-1),
+        quad=quad,
+    )
 
 
 def constant_environment(color=(0.0, 0.0, 0.0), size=(8, 16)) -> EnvMapData:

@@ -145,7 +145,28 @@ def default_textures():
 # Device pytrees
 
 
+# Packed per-triangle attribute row (SceneData.tri_attr) — ONE gather per hit
+# instead of ~13 (TPU gathers cost ~1 ms per 64K indices regardless of row
+# width, so consolidation is the difference between shading being gather-bound
+# and free).  Columns:
+#   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 n0 | 12:15 n1 | 15:18 n2
+#   18:20 uv0 | 20:22 uv1 | 22:24 uv2
+#   24 material id | 25 local tri (PrimitiveIndex) | 26 instance id
+#   27 emissive tri count of the instance (0 = not emissive) | 28:32 pad
+TRI_ATTR_COLS = 32
+
+# Packed per-material row (MaterialTable.attr).  Columns:
+#   0:3 base_color | 3:6 emissive_color | 6:9 specular_color
+#   9:12 medium_color | 12:15 medium_emissive_color
+#   15 metallic | 16 roughness | 17 ior | 18 transmission | 19 anisotropy
+#   20 anisotropy_rotation | 21 medium_density | 22 medium_anisotropy
+#   23 base_color_tex | 24 normal_tex | 25 roughness_tex | 26 metallic_tex
+#   27 emissive_tex | 28:32 pad
+MAT_ATTR_COLS = 32
+
+
 class MaterialTable(NamedTuple):
+    attr: jnp.ndarray  # (M, MAT_ATTR_COLS) packed rows — the render-time view
     base_color: jnp.ndarray  # (M, 3)
     emissive_color: jnp.ndarray  # (M, 3)
     specular_color: jnp.ndarray  # (M, 3)
@@ -178,11 +199,18 @@ class EnvMapData(NamedTuple):
     image: jnp.ndarray  # (H, W, 4) f32; alpha = sampling PDF (max(RGB)/sum)
     alias_index: jnp.ndarray  # (H*W,) i32
     alias_importance: jnp.ndarray  # (H*W,) f32
+    alias: jnp.ndarray  # (H*W, 2) f32 packed [importance, index] — one gather
+    # Precomputed 2x2 texel neighborhoods [t00 t10 t01 t11] so a bilinear
+    # fetch is ONE row gather instead of four (wrap-u / clamp-v baked in).
+    # (1, 1, 16) sentinel when the env is too large to quadruplicate; the
+    # samplers then fall back to 4 per-corner gathers.
+    quad: jnp.ndarray  # (H, W, 16) f32 or (1, 1, 16) sentinel
 
 
 class EmissiveTable(NamedTuple):
     """NEE table over emissive instances (reference: uEmissiveMeshes b19)."""
 
+    attr: jnp.ndarray  # (EM, 4) f32 packed [tri_count, offset, instance, material]
     instance: jnp.ndarray  # (EM,) i32
     material: jnp.ndarray  # (EM,) i32
     tri_count: jnp.ndarray  # (EM,) i32
@@ -228,15 +256,7 @@ class SceneData(NamedTuple):
     tri_p0: jnp.ndarray  # (T', 3)
     tri_e1: jnp.ndarray  # (T', 3)  v1 - v0
     tri_e2: jnp.ndarray  # (T', 3)  v2 - v0
-    tri_n0: jnp.ndarray  # (T', 3) world-space vertex normals
-    tri_n1: jnp.ndarray
-    tri_n2: jnp.ndarray
-    tri_uv0: jnp.ndarray  # (T', 2)
-    tri_uv1: jnp.ndarray
-    tri_uv2: jnp.ndarray
-    tri_mat: jnp.ndarray  # (T',) i32
-    tri_local: jnp.ndarray  # (T',) i32 PrimitiveIndex within the mesh
-    tri_inst: jnp.ndarray  # (T',) i32 instance id
+    tri_attr: jnp.ndarray  # (T', TRI_ATTR_COLS) packed shading attributes
     bvh: BVHData
     clusters: "ClusterData"  # type: ignore[name-defined]  # noqa: F821
     materials: MaterialTable
