@@ -156,26 +156,31 @@ def ggx_smith_g1(v, ax, ay):
     return 1.0 / (1.0 + ggx_smith_lambda(v, ax, ay))
 
 
-def _lookup_2darray(table, u, v, layer):
-    """Texture2DArray.SampleLevel semantics: bilinear (u, v), nearest layer,
-    clamp-to-edge.  table: (L, H, W); u indexes W, v indexes H."""
-    nl, h, w = table.shape
-    li = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, nl - 1)
-    x = jnp.clip(u, 0.0, 1.0) * w - 0.5
-    y = jnp.clip(v, 0.0, 1.0) * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    t00 = table[li, y0i, x0i]
-    t10 = table[li, y0i, x1i]
-    t01 = table[li, y1i, x0i]
-    t11 = table[li, y1i, x1i]
-    return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (t01 * (1 - fx) + t11 * fx) * fy
+def energy_comp_terms(props: MaterialProps, scene, vz, use_energy_compensation: bool):
+    """The Turquin energy terms E_reflect(v.z, rough, aniso) and
+    E_glass(v.z, rough, ior) (Material.slang:146-165 table fetches).
+
+    Evaluated from the Chebyshev fits (vpt_tpu.render.lookup_fit) — pure
+    register math, no gathers.  Depends only on the view ray and material,
+    so the integrator computes it ONCE per bounce and shares it across the
+    three BSDF evaluations (sample + sky NEE + light NEE).
+    """
+    from vpt_tpu.render.lookup_fit import eval_fit, layer_coord
+
+    if not use_energy_compensation:
+        one = jnp.ones_like(vz)
+        return one, one
+    layer_g = layer_coord((jnp.clip(props.ior, 1.0001, 2.0) - 1.0) * 32.0, 32)
+    u_g = jnp.sqrt(jnp.maximum(vz, 0.0))
+    comp_in = eval_fit(scene.lookup_refract_in, u_g, props.roughness, layer_g)
+    comp_out = eval_fit(scene.lookup_refract_out, u_g, props.roughness, layer_g)
+    glass_comp = jnp.where(props.eta > 1.0, comp_in, comp_out)
+    glass_comp = jnp.clip(glass_comp, 0.0, 1.0)
+
+    layer_r = layer_coord(props.anisotropy * 32.0, 32)
+    refl_e = eval_fit(scene.lookup_reflect, vz, props.roughness, layer_r)
+    refl_e = jnp.clip(refl_e, 1e-4, 1.0)
+    return refl_e, glass_comp
 
 
 def evaluate_reflection(v, l, f_color, ax, ay):
@@ -213,9 +218,13 @@ def evaluate_refraction(v, l, f_color, eta, ax, ay):
     return jnp.where(bad[..., None], 0.0, bsdf), jnp.where(bad, 0.0, pdf)
 
 
-def evaluate_bsdf(props: MaterialProps, scene, v, l, use_energy_compensation: bool):
+def evaluate_bsdf(props: MaterialProps, scene, v, l, use_energy_compensation: bool,
+                  comp=None):
     """Full one-sample-MIS evaluation (Material.slang:167-279).
 
+    `comp` is an optional precomputed (refl_e, glass_comp) pair from
+    energy_comp_terms — it depends only on (v, material), so callers that
+    evaluate several light directions per bounce share one computation.
     Returns (bxdf (N, 3), pdf (N,)).
     """
     p_metal, p_diel, p_glass = lobe_probabilities(props)
@@ -231,19 +240,9 @@ def evaluate_bsdf(props: MaterialProps, scene, v, l, use_energy_compensation: bo
     valid_refraction = ((vdoth > 0.0) & (ldoth < 0.0)) | ((vdoth < 0.0) & (ldoth > 0.0))
     f_diel = dielectric_fresnel(jnp.abs(vdoth), props.eta)
 
-    if use_energy_compensation:
-        layer_g = (jnp.clip(props.ior, 1.0001, 2.0) - 1.0) * 32.0
-        u_g = jnp.sqrt(jnp.maximum(v[..., 2], 0.0))
-        comp_in = _lookup_2darray(scene.lookup_refract_in, u_g, props.roughness, layer_g)
-        comp_out = _lookup_2darray(scene.lookup_refract_out, u_g, props.roughness, layer_g)
-        glass_comp = jnp.where(props.eta > 1.0, comp_in, comp_out)
-
-        layer_r = props.anisotropy * 32.0
-        refl_e = _lookup_2darray(scene.lookup_reflect, v[..., 2], props.roughness, layer_r)
-        refl_e = jnp.maximum(refl_e, 1e-4)
-    else:
-        glass_comp = jnp.ones_like(f_diel)
-        refl_e = jnp.ones_like(f_diel)
+    if comp is None:
+        comp = energy_comp_terms(props, scene, v[..., 2], use_energy_compensation)
+    refl_e, glass_comp = comp
 
     bxdf = jnp.zeros_like(v)
     pdf = jnp.zeros_like(f_diel)
@@ -295,7 +294,8 @@ def evaluate_bsdf(props: MaterialProps, scene, v, l, use_energy_compensation: bo
     return bxdf, pdf
 
 
-def sample_bsdf(state, props: MaterialProps, scene, v, h, use_energy_compensation: bool):
+def sample_bsdf(state, props: MaterialProps, scene, v, h, use_energy_compensation: bool,
+                comp=None):
     """Lobe selection + direction sampling + full evaluation
     (SampleBSDF, Material.slang:94-165).
 
@@ -342,7 +342,7 @@ def sample_bsdf(state, props: MaterialProps, scene, v, h, use_energy_compensatio
 
     invalid = (~refracted & (l[..., 2] < 0.0)) | (refracted & (l[..., 2] >= 0.0))
 
-    bxdf, pdf = evaluate_bsdf(props, scene, v, l, use_energy_compensation)
+    bxdf, pdf = evaluate_bsdf(props, scene, v, l, use_energy_compensation, comp=comp)
     bxdf = jnp.where(invalid[..., None], 0.0, bxdf)
     pdf = jnp.where(invalid, 0.0, pdf)
     return state, l, bxdf, pdf, component

@@ -305,6 +305,11 @@ def path_trace_sample(
 
         v_world = -direction
         v_tan = surface_mod.world_to_tangent(surf, v_world)
+        # Energy-compensation terms depend only on (v, material): compute
+        # once and share across the sample + two NEE evaluations.
+        ec_comp = bsdf_mod.energy_comp_terms(
+            props, scene, v_tan[..., 2], flags.use_energy_compensation
+        )
 
         # ------------------------------------------------------------------
         # NEE sampling (sky + emissive mesh), one batched shadow traversal
@@ -389,7 +394,8 @@ def path_trace_sample(
         # BSDF sampling (ClosestHit.slang:191-238)
         state, h_tan = sampling.sample_ggx_vndf(state, v_tan, props.ax, props.ay)
         state, l_tan, bxdf_s, pdf_s, _comp = bsdf_mod.sample_bsdf(
-            state, props, scene, v_tan, h_tan, flags.use_energy_compensation
+            state, props, scene, v_tan, h_tan, flags.use_energy_compensation,
+            comp=ec_comp,
         )
         was_refracted = l_tan[:, 2] < 0.0
         scatter_world = surface_mod.tangent_to_world(surf, l_tan)
@@ -432,7 +438,8 @@ def path_trace_sample(
         if flags.enable_sky_mis:
             sky_tan = surface_mod.world_to_tangent(surf, to_sky)
             sky_bxdf, sky_eval_pdf = bsdf_mod.evaluate_bsdf(
-                props, scene, v_tan, sky_tan, flags.use_energy_compensation
+                props, scene, v_tan, sky_tan, flags.use_energy_compensation,
+                comp=ec_comp,
             )
             if any_media:
                 state, sky_trans = nee_transmittance(
@@ -450,7 +457,8 @@ def path_trace_sample(
         if use_mesh_nee:
             light_tan = surface_mod.world_to_tangent(surf, to_light)
             l_bxdf, l_eval_pdf = bsdf_mod.evaluate_bsdf(
-                props, scene, v_tan, light_tan, flags.use_energy_compensation
+                props, scene, v_tan, light_tan, flags.use_energy_compensation,
+                comp=ec_comp,
             )
             if any_media:
                 state, l_trans = nee_transmittance(

@@ -326,13 +326,18 @@ def compile_scene(scene: Scene, lookup_tables=None):
         env = prepare_environment(default_sky())
     env = EnvMapData(*(jnp.asarray(x) for x in env))
 
-    # ---- lookup tables ----------------------------------------------------
+    # ---- lookup tables -> Chebyshev fits (gather-free BSDF lookups) -------
+    from vpt_tpu.render import lookup_fit
+
     if lookup_tables is None:
-        lut_reflect = jnp.ones((32, 64, 64), jnp.float32)
-        lut_refr_out = jnp.ones((32, 128, 128), jnp.float32)
-        lut_refr_in = jnp.ones((32, 128, 128), jnp.float32)
+        lut_reflect = jnp.asarray(lookup_fit.constant_fit(1.0))
+        lut_refr_out = lut_reflect
+        lut_refr_in = lut_reflect
     else:
-        lut_reflect, lut_refr_out, lut_refr_in = (jnp.asarray(t) for t in lookup_tables)
+        lut_reflect, lut_refr_out, lut_refr_in = (
+            jnp.asarray(t if t.ndim == 3 and t.shape[0] <= 16 else lookup_fit.fit_table(np.asarray(t)))
+            for t in lookup_tables
+        )
 
     # ---- packed per-triangle attribute rows (single-gather shading) -------
     from vpt_tpu.scene.types import TRI_ATTR_COLS

@@ -265,9 +265,11 @@ class SceneData(NamedTuple):
     textures: jnp.ndarray  # (K, TH, TW, 4) f32, zero-padded to common extent
     texture_dims: jnp.ndarray  # (K, 2) i32 true (height, width) per texture
     volumes: VolumeTable
-    lookup_reflect: jnp.ndarray  # (32, 64, 64) f32 [layer, rough(v), v.z(u)]
-    lookup_refract_out: jnp.ndarray  # (32, 128, 128) f32
-    lookup_refract_in: jnp.ndarray  # (32, 128, 128) f32
+    # Energy-compensation lookups as tensor-Chebyshev coefficient blocks
+    # (vpt_tpu.render.lookup_fit) — evaluated in registers, never gathered.
+    lookup_reflect: jnp.ndarray  # (7, 11, 13) f32 fit of the (32,64,64) table
+    lookup_refract_out: jnp.ndarray  # (7, 11, 13) f32 fit of (32,128,128)
+    lookup_refract_in: jnp.ndarray  # (7, 11, 13) f32 fit of (32,128,128)
 
 
 @dataclasses.dataclass(frozen=True)
