@@ -6,14 +6,19 @@ to K contiguous triangles (subtree cuts, so each cluster is one dense slice
 of the DFS-reordered triangle arrays) and intersect with a two-phase
 wavefront scheme built from operations TPUs are good at:
 
-1. **Cull** — a conservative interval-arithmetic slab test of each 128-ray
-   packet bundle against every cluster AABB: a (P, C) entry-distance table,
-   no (N, C) materialization.
-2. **Visit** — each packet marches its entry-sorted candidate list in the
-   Pallas kernel (vpt_tpu.accel.visit_kernel): exact per-ray AABB pre-test,
-   then one contiguous cluster DMA + a (128 rays x K tris) Möller–Trumbore
-   block, stopping when the next candidate starts beyond every live ray's
-   best hit.  A pure-XLA visit loop below serves as the CPU/test fallback.
+1. **Regroup** (sort_rays) — rays are sorted by their two nearest entered
+   cluster ids (one fused per-ray slab pass + a payload-carrying lax.sort),
+   so rays needing triangle tests in the same cluster share packets no
+   matter how incoherent their origins/directions are.
+2. **Cull** — an exact per-ray slab test of every (ray, cluster) pair,
+   fused by XLA straight into per-packet reductions: compacted, entry-
+   sorted candidate lists with true counts.
+3. **Visit** — each packet marches its candidate list in the Pallas kernel
+   (vpt_tpu.accel.visit_kernel): one streaming cluster DMA per visit with
+   the next candidate prefetched, per-sub-block AABB skips, and a
+   (K/8 tris x 128 rays) Möller–Trumbore block per surviving sub-block,
+   stopping when the next candidate starts beyond every live ray's best
+   hit.  A pure-XLA visit loop below serves as the CPU/test fallback.
 
 This replaces both the hardware BVH (PathTracer.cpp:433-502) and
 TraceRay/RayQuery (RTCommon.slang:47-117).  Ordering/earliest-hit semantics
@@ -33,7 +38,6 @@ from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 
 CLUSTER_SIZE = 1024  # tris per cluster: amortizes the per-visit scalar overhead
 PACKET_SIZE = 128  # rays per packet
-CULL_CHUNK = 128  # clusters per cull chunk; bounds the (N, chunk) transient
 VISITS_PER_STEP = 4  # clusters each packet processes per visit-loop step
 
 
@@ -44,8 +48,16 @@ class ClusterData(NamedTuple):
     count: jnp.ndarray  # (C,) i32 — triangles in the cluster (<= K)
     tris: jnp.ndarray  # (C, 16, K) dense blocks: rows 0-8 = [p0.xyz, e1.xyz,
     # e2.xyz], rows 9-15 padding (8-row DMA alignment).  Component-major so
-    # per-axis slices keep triangles in VPU lanes and a whole cluster is one
-    # contiguous DMA for the Pallas visit kernel.
+    # per-axis slices keep triangles in VPU lanes; used by the XLA fallback
+    # visit loop (CPU tests) only.
+    tris_rk: jnp.ndarray  # (C, K/8, 128) kernel blocks, sub-block
+    # interleaved: [c, k, s*16 + j] = component j (0..8 = p0.xyz, e1.xyz,
+    # e2.xyz; 9..15 pad) of triangle s*(K/8) + k.  Triangle index sits in
+    # SUBLANES and the 8 sub-blocks share the 128 lanes, so the Pallas
+    # kernel slices component columns (K/8, 1) per sub-block, broadcasts
+    # rays along LANES as (1, pk) single-vreg rows, and skips whole
+    # sub-blocks whose sub-AABB (`sub_aabbs`) no ray enters.
+    sub_aabbs: jnp.ndarray  # (C, 48) f32: sub-block s bounds at [s*6:(s+1)*6]
 
     @property
     def p0(self):
@@ -150,13 +162,58 @@ def build_clusters(
         ],
         axis=1,
     )
+
+    # Sub-block interleaved kernel blocks + sub-AABBs (see ClusterData).
+    n_sub = 8
+    assert k % n_sub == 0, "cluster_size must be a multiple of 8"
+    sub = k // n_sub
+    comps = np.concatenate([p0, e1, e2], axis=2)  # (c, k, 9)
+    tris_rk = np.zeros((c, sub, 128), np.float32)
+    sub_aabbs = np.zeros((c, 48), np.float32)
+    v1 = p0 + e1
+    v2 = p0 + e2
+    fill = np.arange(k)[None, :] < cnt[:, None]  # (c, k) real-triangle mask
+    BIG = 3e9
+    for s in range(n_sub):
+        sl = slice(s * sub, (s + 1) * sub)
+        tris_rk[:, :, s * 16 : s * 16 + 9] = comps[:, sl]
+        f = fill[:, sl][:, :, None]  # (c, sub, 1)
+        lo = np.minimum(np.minimum(np.where(f, p0[:, sl], BIG), np.where(f, v1[:, sl], BIG)),
+                        np.where(f, v2[:, sl], BIG)).min(axis=1)
+        hi = np.maximum(np.maximum(np.where(f, p0[:, sl], -BIG), np.where(f, v1[:, sl], -BIG)),
+                        np.where(f, v2[:, sl], -BIG)).max(axis=1)
+        empty = ~fill[:, sl].any(axis=1)
+        lo[empty] = BIG
+        hi[empty] = -BIG
+        sub_aabbs[:, s * 6 : s * 6 + 3] = lo
+        sub_aabbs[:, s * 6 + 3 : s * 6 + 6] = hi
+
     return ClusterData(
         aabb_min=jnp.asarray(cmin),
         aabb_max=jnp.asarray(cmax),
         start=jnp.asarray(start),
         count=jnp.asarray(cnt),
         tris=jnp.asarray(np.ascontiguousarray(tris)),
+        tris_rk=jnp.asarray(np.ascontiguousarray(tris_rk)),
+        sub_aabbs=jnp.asarray(sub_aabbs),
     )
+
+
+def _slab_tn_tf(o_p, d_p, tmax_p, cmin_pad, cmax_pad, t_min):
+    """Per-ray slab intervals vs every cluster box: (P, pk, Cp) tn and tf."""
+    n_pk, packet, _ = o_p.shape
+    c_padded = cmin_pad.shape[1]
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) > 1e-20, d_p, 1e-20)
+    tn = jnp.full((n_pk, packet, c_padded), t_min, jnp.float32)
+    tf = jnp.broadcast_to(tmax_p[:, :, None], (n_pk, packet, c_padded))
+    for ax in range(3):
+        oc = o_p[:, :, ax : ax + 1]
+        ic = inv_p[:, :, ax : ax + 1]
+        s0 = (cmin_pad[ax][None, None, :] - oc) * ic
+        s1 = (cmax_pad[ax][None, None, :] - oc) * ic
+        tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+        tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+    return tn, tf
 
 
 def intersect_clusters(
@@ -169,11 +226,21 @@ def intersect_clusters(
     any_hit: bool = False,
     packet: int = PACKET_SIZE,
     use_pallas: bool | None = None,
+    sort_rays: bool = False,
 ) -> Hit:
     """Closest-hit intersection of a ray wavefront against the cluster set.
 
     `t_max` may be a scalar or a per-ray (N,) array — shadow rays pass the
-    distance to their light sample so any_hit queries stop short of it."""
+    distance to their light sample so any_hit queries stop short of it.
+
+    With `sort_rays` the wavefront is first regrouped by each ray's two
+    nearest entered cluster ids: rays that need triangle tests in the same
+    cluster share packets REGARDLESS of origin/direction coherence, which is
+    what bounds the packet SIMD waste (a morton/octant sort leaves diffuse
+    bounce packets visiting ~15 clusters while each ray only enters ~2).
+    The permutation is applied by carrying the payload through a
+    multi-operand lax.sort and carrying the hit back through a second sort
+    on the lane id — per-lane gathers are ~0.25 us/element on TPU."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     n_orig = origin.shape[0]
@@ -196,19 +263,7 @@ def intersect_clusters(
     if active is None:
         active = jnp.ones(n, bool)
 
-    inv_d = jnp.where(jnp.abs(direction) > 1e-20, 1.0 / direction, jnp.float32(1e20))
-
-    # ---- Phase 1: cull — conservative packet-bundle vs cluster AABBs -----
-    # Interval-arithmetic slab test of the whole 128-ray bundle against every
-    # cluster: O(P*C) instead of O(N*C).  The computed entry is a lower bound
-    # of every member ray's true entry, so front-to-back pruning in the visit
-    # kernel stays exact; incoherent bundles (mixed direction signs) simply
-    # degrade to unbounded intervals and rely on the kernel's cap pruning.
-    o_p = origin.reshape(n_pk, packet, 3)
-    d_p_full = direction.reshape(n_pk, packet, 3)
-    act_p = active.reshape(n_pk, packet)
-
-    c_padded = -(-c // CULL_CHUNK) * CULL_CHUNK
+    c_padded = -(-c // 128) * 128
     cmin_pad = jnp.concatenate(
         [cl.aabb_min, jnp.full((c_padded - c, 3), 3e9, jnp.float32)]
     ).T  # (3, Cp)
@@ -216,69 +271,72 @@ def intersect_clusters(
         [cl.aabb_max, jnp.full((c_padded - c, 3), 3e9, jnp.float32)]
     ).T
 
-    BIG = jnp.float32(1e30)
-    a3 = act_p[:, :, None]
-    o_lo = jnp.min(jnp.where(a3, o_p, BIG), axis=1)  # (P, 3)
-    o_hi = jnp.max(jnp.where(a3, o_p, -BIG), axis=1)
-    d_lo = jnp.min(jnp.where(a3, d_p_full, BIG), axis=1)
-    d_hi = jnp.max(jnp.where(a3, d_p_full, -BIG), axis=1)
-    any_act = jnp.any(act_p, axis=1)  # (P,)
-
-    # Reciprocal interval per axis; mixed-sign bundles become unbounded.
-    pos = d_lo > 1e-20
-    neg = d_hi < -1e-20
-    same_sign = pos | neg
-    i_lo = jnp.where(same_sign, 1.0 / jnp.where(same_sign, d_hi, 1.0), -BIG)
-    i_hi = jnp.where(same_sign, 1.0 / jnp.where(same_sign, d_lo, 1.0), BIG)
-
-    def interval_mul(alo, ahi, blo, bhi):
-        p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
-        return (
-            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+    lane_key = None
+    if sort_rays:
+        tn0, tf0 = _slab_tn_tf(
+            origin.reshape(n_pk, packet, 3), direction.reshape(n_pk, packet, 3),
+            tmax_arr.reshape(n_pk, packet), cmin_pad, cmax_pad, t_min,
         )
+        ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, c_padded)
+        first = jnp.argmin(ent, axis=1).astype(jnp.int32)
+        v1 = jnp.min(ent, axis=1)
+        ids_row = jnp.arange(c_padded, dtype=jnp.int32)[None, :]
+        ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
+        second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
+        v2 = jnp.min(ent2, axis=1)
+        sentinel = jnp.int32(c_padded)
+        first = jnp.where(jnp.isfinite(v1), first, sentinel)
+        second = jnp.where(jnp.isfinite(v2), second, sentinel)
+        key = first * (c_padded + 1) + second
+        key = jnp.where(active, key, jnp.int32(1 << 30))
+        lane = jax.lax.iota(jnp.int32, n)
+        (_, lane_key, ox, oy, oz, dx, dy, dz, tmax_arr, active) = jax.lax.sort(
+            (key, lane, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             tmax_arr, active),
+            num_keys=1, is_stable=True,
+        )
+        origin = jnp.stack([ox, oy, oz], axis=-1)
+        direction = jnp.stack([dx, dy, dz], axis=-1)
 
-    tn_lo = jnp.full((n_pk, c_padded), -BIG, jnp.float32)
-    tf_hi = jnp.full((n_pk, c_padded), BIG, jnp.float32)
-    for ax in range(3):
-        b_lo = cmin_pad[ax][None, :]  # (1, Cp)
-        b_hi = cmax_pad[ax][None, :]
-        a_lo0 = b_lo - o_hi[:, ax : ax + 1]
-        a_hi0 = b_lo - o_lo[:, ax : ax + 1]
-        a_lo1 = b_hi - o_hi[:, ax : ax + 1]
-        a_hi1 = b_hi - o_lo[:, ax : ax + 1]
-        t0_lo, t0_hi = interval_mul(a_lo0, a_hi0, i_lo[:, ax : ax + 1], i_hi[:, ax : ax + 1])
-        t1_lo, t1_hi = interval_mul(a_lo1, a_hi1, i_lo[:, ax : ax + 1], i_hi[:, ax : ax + 1])
-        near_lo = jnp.minimum(t0_lo, t1_lo)
-        far_hi = jnp.maximum(t0_hi, t1_hi)
-        tn_lo = jnp.maximum(tn_lo, near_lo)
-        tf_hi = jnp.minimum(tf_hi, far_hi)
+    # ---- Phase 1: cull — exact per-ray slab test, fully fused -------------
+    # One fused (P, packet, C) slab test reduced straight to per-packet
+    # tables: `entry` = nearest entry distance of any live ray into each
+    # cluster box, inf when no ray enters before its own t_max.  This is the
+    # massively-parallel half of traversal — XLA fuses the (P, pk, C)
+    # intermediates into the two reductions at HBM bandwidth, and the visit
+    # kernel then marches only clusters some ray genuinely enters (the old
+    # bundle-interval cull went unbounded on incoherent packets and made the
+    # kernel march ~every cluster at ~2 us each).
+    o_p = origin.reshape(n_pk, packet, 3)
+    d_p_full = direction.reshape(n_pk, packet, 3)
+    act_p = active.reshape(n_pk, packet)
+    tmax_p = tmax_arr.reshape(n_pk, packet)
 
-    real_cluster = (jnp.arange(c_padded) < c)[None, :]
-    tmax_pk = jnp.max(jnp.where(act_p, tmax_arr.reshape(n_pk, packet), 0.0), axis=1)
-    may_hit = (
-        (tn_lo <= tf_hi) & (tf_hi >= t_min) & (tn_lo < tmax_pk[:, None])
-        & any_act[:, None] & real_cluster
-    )
-    entry = jnp.where(may_hit, jnp.maximum(tn_lo, t_min), jnp.inf)  # (P, Cp)
+    tn, tf = _slab_tn_tf(o_p, d_p_full, tmax_p, cmin_pad, cmax_pad, t_min)
+    enter = (tn <= tf) & act_p[:, :, None]  # (P, pk, Cp)
+    entry = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1)  # (P, Cp)
+    nvis = jnp.sum(jnp.any(enter, axis=1), axis=1).astype(jnp.int32)  # (P,)
 
     # ---- Phase 2: visit loop ---------------------------------------------
-    # Sort each packet's clusters by entry distance once, then march through
-    # the sorted list (front-to-back ordering makes the best-hit cap prune
-    # the tail early).
-    order = jnp.argsort(entry, axis=1).astype(jnp.int32)  # (P, Cp)
-    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
+    # Sort each packet's candidates by entry distance (multi-operand sort
+    # carrying the cluster ids — take_along_axis would be a per-lane gather,
+    # ~0.25 us/element on TPU), then march the compacted prefix front-to-back
+    # so the best-hit cap prunes the tail.
+    ids = jnp.broadcast_to(
+        jnp.arange(c_padded, dtype=jnp.int32)[None, :], (n_pk, c_padded)
+    )
+    entry_sorted, order = jax.lax.sort((entry, ids), dimension=1, num_keys=1)
 
     if use_pallas:
         from vpt_tpu.accel.visit_kernel import visit_pallas
 
         d_p = direction.reshape(n_pk, packet, 3)
-        aabbs = jnp.concatenate([cl.aabb_min, cl.aabb_max], axis=1)  # (C, 6)
         bt, btri, bu, bv = visit_pallas(
-            order, entry_sorted, o_p, d_p, act_p,
-            tmax_arr.reshape(n_pk, packet),
-            aabbs,
-            cl.count, cl.start, cl.tris,
+            nvis, order, entry_sorted, o_p, d_p, act_p,
+            tmax_p,
+            cl.sub_aabbs,
+            cl.count, cl.start, cl.tris_rk,
             any_hit=any_hit, t_min=float(t_min), t_max=t_max_hi,
         )
         best_t = bt.reshape(n)
@@ -292,6 +350,11 @@ def intersect_clusters(
             u=best_u,
             v=best_v,
         )
+        if lane_key is not None:
+            (_, t_u, tri_u, u_u, v_u) = jax.lax.sort(
+                (lane_key, hit.t, hit.tri, hit.u, hit.v), num_keys=1, is_stable=True
+            )
+            hit = Hit(t=t_u, tri=tri_u, u=u_u, v=v_u)
         if pad:
             hit = Hit(
                 t=hit.t[:n_orig], tri=hit.tri[:n_orig], u=hit.u[:n_orig], v=hit.v[:n_orig]
@@ -410,6 +473,11 @@ def intersect_clusters(
         u=best_u,
         v=best_v,
     )
+    if lane_key is not None:
+        (_, t_u, tri_u, u_u, v_u) = jax.lax.sort(
+            (lane_key, hit.t, hit.tri, hit.u, hit.v), num_keys=1, is_stable=True
+        )
+        hit = Hit(t=t_u, tri=tri_u, u=u_u, v=v_u)
     if pad:
         hit = Hit(t=hit.t[:n_orig], tri=hit.tri[:n_orig], u=hit.u[:n_orig], v=hit.v[:n_orig])
     return hit

@@ -23,7 +23,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Experiment knob: dynamic morton/octant ray sorting before each trace.
+# Experiment knob: nearest-cluster ray regrouping before each trace.
 _SORT_RAYS = os.environ.get("VPT_SORT_RAYS", "1") == "1"
 
 from vpt_tpu.core import rng
@@ -59,57 +59,15 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
 
     n = origin.shape[0]
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    if not sort_rays:
-        return intersect_clusters(
-            origin, direction, scene.clusters, t_min, tmax_arr,
-            active=active, any_hit=any_hit,
-        )
-    # Sort rays by (origin cell morton, direction octant) with dead lanes
-    # last — spatially-tight, direction-coherent packets visit far fewer
-    # clusters.  The permutation is applied by CARRYING the ray payload
-    # through a multi-operand lax.sort (and carrying the hit back through a
-    # second sort on the lane id): per-lane gathers are ~0.4 ms each on TPU,
-    # so argsort+apply costs ~10x more than the payload-carrying sort.
-    cmin = jnp.min(scene.clusters.aabb_min, axis=0)
-    cmax = jnp.max(scene.clusters.aabb_max, axis=0)
-    extent = jnp.maximum(cmax - cmin, 1e-6)
-    cell = jnp.clip(((origin - cmin) / extent * 16.0).astype(jnp.int32), 0, 15)
-    morton = _morton3_16(cell[:, 0], cell[:, 1], cell[:, 2])
-    d_pos = direction > 0.0
-    octant = (
-        d_pos[:, 0].astype(jnp.int32) * 4
-        + d_pos[:, 1].astype(jnp.int32) * 2
-        + d_pos[:, 2].astype(jnp.int32)
+    # With sort_rays the intersector regroups the wavefront by each ray's
+    # nearest entered cluster ids (see intersect_clusters): rays that need
+    # triangle tests against the same cluster share packets regardless of
+    # origin/direction coherence, which a morton/octant key cannot give for
+    # diffuse bounces.
+    return intersect_clusters(
+        origin, direction, scene.clusters, t_min, tmax_arr,
+        active=active, any_hit=any_hit, sort_rays=sort_rays,
     )
-    key = (morton << 3) | octant
-    key = jnp.where(active, key, jnp.int32(1 << 30))
-    lane = jax.lax.iota(jnp.int32, n)
-    (_, lane_s, ox, oy, oz, dx, dy, dz, tm, act) = jax.lax.sort(
-        (key, lane, origin[:, 0], origin[:, 1], origin[:, 2],
-         direction[:, 0], direction[:, 1], direction[:, 2],
-         tmax_arr, active),
-        num_keys=1, is_stable=True,
-    )
-    hit_s = intersect_clusters(
-        jnp.stack([ox, oy, oz], axis=-1), jnp.stack([dx, dy, dz], axis=-1),
-        scene.clusters, t_min, tm, active=act, any_hit=any_hit,
-    )
-    (_, t_u, tri_u, u_u, v_u) = jax.lax.sort(
-        (lane_s, hit_s.t, hit_s.tri, hit_s.u, hit_s.v), num_keys=1, is_stable=True
-    )
-    return traverse.Hit(t=t_u, tri=tri_u, u=u_u, v=v_u)
-
-
-def _morton3_16(x, y, z):
-    """Interleave three 4-bit ints into a 12-bit Morton code."""
-
-    def spread(v):
-        v = (v | (v << 8)) & 0x0F00F
-        v = (v | (v << 4)) & 0xC30C3
-        v = (v | (v << 2)) & 0x249249
-        return v
-
-    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
 
 def path_trace_sample(
@@ -133,12 +91,23 @@ def path_trace_sample(
     Returns ((N, 3) summed radiance over samples, segment count)."""
     n = pixel_xy.shape[0]
     sample_offset = jnp.asarray(sample_offset, jnp.uint32)
-    state = rng.seed(pixel_index, sample_offset, sample_seed)
 
-    state, origin, direction = generate_primary_rays(
-        params.view_inverse, params.proj_inverse, pixel_xy, resolution, state,
-        params.focus_distance, params.dof_strength,
-    )
+    # Primary rays are deterministic per (pixel, sample index), so generate
+    # every sample's rays ONCE up front; regeneration inside the loop then
+    # just selects the next sample's precomputed ray instead of re-running
+    # the camera math every iteration (~70 ms/dispatch of scalar-broadcast
+    # fusions at 512x512).  Gated on sample count to bound the (S, N, 3)
+    # buffers.
+    precompute = n_samples <= 8
+    pre = []
+    for s in range(n_samples if precompute else 1):
+        rs = rng.seed(pixel_index, jnp.uint32(s) + sample_offset, sample_seed)
+        rs, o_s, d_s = generate_primary_rays(
+            params.view_inverse, params.proj_inverse, pixel_xy, resolution, rs,
+            params.focus_distance, params.dof_strength,
+        )
+        pre.append((rs, o_s, d_s))
+    state, origin, direction = pre[0]
 
     carry = dict(
         state=state,
@@ -685,11 +654,21 @@ def path_trace_sample(
         sample_idx = c["sample_idx"]
         regen = path_end & (sample_idx + 1 < n_samples)
         new_sample = jnp.where(regen, sample_idx + 1, sample_idx)
-        rs = rng.seed(pixel_index, new_sample.astype(jnp.uint32) + sample_offset, sample_seed)
-        rs, o_new, d_new = generate_primary_rays(
-            params.view_inverse, params.proj_inverse, pixel_xy, resolution, rs,
-            params.focus_distance, params.dof_strength,
-        )
+        if precompute:
+            rs, o_new, d_new = pre[min(1, n_samples - 1)]
+            for s in range(2, n_samples):
+                pick = new_sample == s
+                rs = jnp.where(pick, pre[s][0], rs)
+                o_new = jnp.where(pick[:, None], pre[s][1], o_new)
+                d_new = jnp.where(pick[:, None], pre[s][2], d_new)
+        else:
+            rs = rng.seed(
+                pixel_index, new_sample.astype(jnp.uint32) + sample_offset, sample_seed
+            )
+            rs, o_new, d_new = generate_primary_rays(
+                params.view_inverse, params.proj_inverse, pixel_xy, resolution, rs,
+                params.focus_distance, params.dof_strength,
+            )
         r2 = regen[:, None]
         new_origin = jnp.where(r2, o_new, new_origin)
         new_direction = jnp.where(r2, d_new, new_direction)

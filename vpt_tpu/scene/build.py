@@ -271,7 +271,11 @@ def compile_scene(scene: Scene, lookup_tables=None):
     tri_p0 = reorder_pad(v0)
     tri_e1 = reorder_pad(v1 - v0)
     tri_e2 = reorder_pad(v2 - v0)
-    clusters = build_clusters(bvh, tri_p0, tri_e1, tri_e2)
+    from vpt_tpu.accel import cluster as _cluster_mod
+
+    clusters = build_clusters(
+        bvh, tri_p0, tri_e1, tri_e2, cluster_size=_cluster_mod.CLUSTER_SIZE
+    )
 
     # ---- emissive table ---------------------------------------------------
     em_instances = []
