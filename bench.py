@@ -3,8 +3,10 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 200M path segments/sec/chip (BASELINE.json north star).
 
-Scene: sphere_garden (~100k triangles, mixed diffuse/metal/glossy/glass,
-HDR-style sky with a sun hotspot) — a BVH-scale stand-in for Sponza.
+Scene: colonnade (~334k triangles — BASELINE.json defines the target on a
+~300K-tri Sponza-class scene; the reference's own Sponza asset is not
+bundled, so this is the equivalent-scale stand-in: instanced fluted
+columns, drapes, statues, emissive lamps, sun-hotspot sky).
 """
 
 from __future__ import annotations
@@ -25,9 +27,9 @@ def main():
     from vpt_tpu.core.camera import perspective
     from vpt_tpu.render.params import RenderFlags, default_params
     from vpt_tpu.scene.build import compile_scene
-    from vpt_tpu.scene.procedural import sphere_garden
+    from vpt_tpu.scene.procedural import colonnade
 
-    scene = sphere_garden()
+    scene = colonnade()
     data, meta, aux = compile_scene(scene)
     view = aux["camera_view"]
     width = height = 512
@@ -77,7 +79,7 @@ def main():
                 "unit": "segments/s",
                 "vs_baseline": value / BASELINE_SEGMENTS_PER_SEC,
                 "detail": {
-                    "scene": "sphere_garden",
+                    "scene": "colonnade",
                     "n_tris": meta.n_tris,
                     "resolution": [width, height],
                     "spp_per_dispatch": spp_per_dispatch,

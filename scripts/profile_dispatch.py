@@ -83,15 +83,18 @@ def main():
     for lname, t in sorted(lanes.items(), key=lambda kv: -kv[1]):
         print(f"  {lname}: {t:.1f} ms")
 
-    # Aggregate by op name across the busiest lane
-    busiest = max(lanes, key=lanes.get) if lanes else None
-    agg = defaultdict(float)
-    for (lname, name), t in op_time.items():
-        if lname == busiest:
-            agg[name] += t
-    print(f"\ntop ops in '{busiest}':")
-    for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {t:9.2f} ms  {name[:120]}")
+    # Aggregate by op name for each lane (the serial "XLA Ops" lane is the
+    # one that reflects real device time; async lanes span their waits).
+    for lane_sel in lanes:
+        agg = defaultdict(float)
+        count = defaultdict(int)
+        for (lname, name), t in op_time.items():
+            if lname == lane_sel:
+                agg[name] += t
+                count[name] += 1
+        print(f"\ntop ops in '{lane_sel}' ({lanes[lane_sel]:.1f} ms total):")
+        for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"  {t:9.2f} ms  x{count[name]:<4d} {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,12 @@ def test_cluster_build_covers_all_tris():
     p0, e1, e2, cl, _ = _scene(777, 0)
     starts = np.asarray(cl.start)
     counts = np.asarray(cl.count)
+    # The list is padded to a GROUP_SIZE multiple with empty clusters.
+    from vpt_tpu.accel.cluster import GROUP_SIZE
+
+    assert len(counts) % GROUP_SIZE == 0
+    real = counts > 0
+    starts, counts = starts[real], counts[real]
     # Clusters tile [0, n_tris) without overlap
     order = np.argsort(starts)
     s, c = starts[order], counts[order]

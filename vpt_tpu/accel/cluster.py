@@ -35,29 +35,34 @@ import jax.numpy as jnp
 
 from vpt_tpu.accel.bvh import FlatBVH
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
+from vpt_tpu.accel.visit_kernel import GROUP_SIZE
 
 CLUSTER_SIZE = 1024  # tris per cluster: amortizes the per-visit scalar overhead
 PACKET_SIZE = 128  # rays per packet
-VISITS_PER_STEP = 4  # clusters each packet processes per visit-loop step
+GROUPS_PER_STEP = 1  # groups each packet processes per fallback loop step
 
 
 class ClusterData(NamedTuple):
-    aabb_min: jnp.ndarray  # (C, 3)
+    aabb_min: jnp.ndarray  # (C, 3) world cluster boxes (padded entries inverted)
     aabb_max: jnp.ndarray  # (C, 3)
+    aabbs: jnp.ndarray  # (C, 6) f32 [min.xyz, max.xyz] — kernel SMEM table
+    group_min: jnp.ndarray  # (G, 3) — group = GROUP_SIZE consecutive clusters
+    group_max: jnp.ndarray  # (G, 3)
     start: jnp.ndarray  # (C,) i32 — offset into reordered tri arrays
     count: jnp.ndarray  # (C,) i32 — triangles in the cluster (<= K)
     tris: jnp.ndarray  # (C, 16, K) dense blocks: rows 0-8 = [p0.xyz, e1.xyz,
     # e2.xyz], rows 9-15 padding (8-row DMA alignment).  Component-major so
     # per-axis slices keep triangles in VPU lanes; used by the XLA fallback
     # visit loop (CPU tests) only.
-    tris_rk: jnp.ndarray  # (C, K/8, 128) kernel blocks, sub-block
+    tris_rk: jnp.ndarray  # (C, K/8 + 8, 128) kernel blocks, sub-block
     # interleaved: [c, k, s*16 + j] = component j (0..8 = p0.xyz, e1.xyz,
-    # e2.xyz; 9..15 pad) of triangle s*(K/8) + k.  Triangle index sits in
-    # SUBLANES and the 8 sub-blocks share the 128 lanes, so the Pallas
-    # kernel slices component columns (K/8, 1) per sub-block, broadcasts
-    # rays along LANES as (1, pk) single-vreg rows, and skips whole
-    # sub-blocks whose sub-AABB (`sub_aabbs`) no ray enters.
-    sub_aabbs: jnp.ndarray  # (C, 48) f32: sub-block s bounds at [s*6:(s+1)*6]
+    # e2.xyz; 9..15 pad) of triangle s*(K/8) + k, for k < K/8.  Triangle
+    # index sits in SUBLANES and the 8 sub-blocks share the 128 lanes, so
+    # the Pallas kernel slices component columns (K/8, 1) per sub-block,
+    # broadcasts rays along LANES as (1, pk) single-vreg rows, and skips
+    # whole sub-blocks whose sub-AABB no ray enters.  Rows K/8..K/8+7 are a
+    # metadata tile riding the same DMA: row K/8+s lanes 0..5 hold
+    # sub-block s's [lo.xyz, hi.xyz].
 
     @property
     def p0(self):
@@ -136,12 +141,23 @@ def build_clusters(
                 continue
         ranges.append((lo[i], hi[i], bvh.aabb_min[i].copy(), bvh.aabb_max[i].copy()))
 
+    # Pad the cluster list to an exact multiple of GROUP_SIZE with empty
+    # clusters (inverted AABBs, zero count) so every group is exactly
+    # GROUP_SIZE consecutive clusters — the kernel then maps group g to
+    # clusters [g*GROUP_SIZE, (g+1)*GROUP_SIZE) with no start/count tables.
     c = len(ranges)
+    c_pad = -(-c // GROUP_SIZE) * GROUP_SIZE
     k = cluster_size
-    cmin = np.stack([r[2] for r in ranges])
-    cmax = np.stack([r[3] for r in ranges])
-    start = np.array([r[0] for r in ranges], np.int32)
-    cnt = np.array([r[1] - r[0] for r in ranges], np.int32)
+    BIG = 3e9
+    cmin = np.full((c_pad, 3), BIG, np.float32)
+    cmax = np.full((c_pad, 3), -BIG, np.float32)
+    cmin[:c] = np.stack([r[2] for r in ranges])
+    cmax[:c] = np.stack([r[3] for r in ranges])
+    start = np.zeros(c_pad, np.int32)
+    cnt = np.zeros(c_pad, np.int32)
+    start[:c] = np.array([r[0] for r in ranges], np.int32)
+    cnt[:c] = np.array([r[1] - r[0] for r in ranges], np.int32)
+    c = c_pad
     p0 = np.zeros((c, k, 3), np.float32)
     e1 = np.zeros((c, k, 3), np.float32)
     e2 = np.zeros((c, k, 3), np.float32)
@@ -163,20 +179,19 @@ def build_clusters(
         axis=1,
     )
 
-    # Sub-block interleaved kernel blocks + sub-AABBs (see ClusterData).
+    # Sub-block interleaved kernel blocks with the sub-AABB metadata tile
+    # appended as rows sub..sub+7 (see ClusterData.tris_rk).
     n_sub = 8
     assert k % n_sub == 0, "cluster_size must be a multiple of 8"
     sub = k // n_sub
     comps = np.concatenate([p0, e1, e2], axis=2)  # (c, k, 9)
-    tris_rk = np.zeros((c, sub, 128), np.float32)
-    sub_aabbs = np.zeros((c, 48), np.float32)
+    tris_rk = np.zeros((c, sub + n_sub, 128), np.float32)
     v1 = p0 + e1
     v2 = p0 + e2
     fill = np.arange(k)[None, :] < cnt[:, None]  # (c, k) real-triangle mask
-    BIG = 3e9
     for s in range(n_sub):
         sl = slice(s * sub, (s + 1) * sub)
-        tris_rk[:, :, s * 16 : s * 16 + 9] = comps[:, sl]
+        tris_rk[:, :sub, s * 16 : s * 16 + 9] = comps[:, sl]
         f = fill[:, sl][:, :, None]  # (c, sub, 1)
         lo = np.minimum(np.minimum(np.where(f, p0[:, sl], BIG), np.where(f, v1[:, sl], BIG)),
                         np.where(f, v2[:, sl], BIG)).min(axis=1)
@@ -185,17 +200,23 @@ def build_clusters(
         empty = ~fill[:, sl].any(axis=1)
         lo[empty] = BIG
         hi[empty] = -BIG
-        sub_aabbs[:, s * 6 : s * 6 + 3] = lo
-        sub_aabbs[:, s * 6 + 3 : s * 6 + 6] = hi
+        tris_rk[:, sub + s, 0:3] = lo
+        tris_rk[:, sub + s, 3:6] = hi
+
+    g = c // GROUP_SIZE
+    group_min = cmin.reshape(g, GROUP_SIZE, 3).min(axis=1)
+    group_max = cmax.reshape(g, GROUP_SIZE, 3).max(axis=1)
 
     return ClusterData(
         aabb_min=jnp.asarray(cmin),
         aabb_max=jnp.asarray(cmax),
+        aabbs=jnp.asarray(np.concatenate([cmin, cmax], axis=1)),
+        group_min=jnp.asarray(group_min),
+        group_max=jnp.asarray(group_max),
         start=jnp.asarray(start),
         count=jnp.asarray(cnt),
         tris=jnp.asarray(np.ascontiguousarray(tris)),
         tris_rk=jnp.asarray(np.ascontiguousarray(tris_rk)),
-        sub_aabbs=jnp.asarray(sub_aabbs),
     )
 
 
@@ -227,6 +248,7 @@ def intersect_clusters(
     packet: int = PACKET_SIZE,
     use_pallas: bool | None = None,
     sort_rays: bool = False,
+    interpret: bool = False,
 ) -> Hit:
     """Closest-hit intersection of a ray wavefront against the cluster set.
 
@@ -263,31 +285,36 @@ def intersect_clusters(
     if active is None:
         active = jnp.ones(n, bool)
 
-    c_padded = -(-c // 128) * 128
-    cmin_pad = jnp.concatenate(
-        [cl.aabb_min, jnp.full((c_padded - c, 3), 3e9, jnp.float32)]
-    ).T  # (3, Cp)
-    cmax_pad = jnp.concatenate(
-        [cl.aabb_max, jnp.full((c_padded - c, 3), 3e9, jnp.float32)]
+    # Group-level tables: the XLA cull and sorts work at GROUP granularity
+    # (GROUP_SIZE consecutive clusters per group), so their cost scales with
+    # C/GROUP_SIZE; the kernel recovers per-cluster exactness with SMEM
+    # slab tests before each member's DMA.
+    g = cl.group_min.shape[0]
+    g_padded = -(-g // 128) * 128
+    gmin_pad = jnp.concatenate(
+        [cl.group_min, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]
+    ).T  # (3, Gp)
+    gmax_pad = jnp.concatenate(
+        [cl.group_max, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]
     ).T
 
     lane_key = None
     if sort_rays:
         tn0, tf0 = _slab_tn_tf(
             origin.reshape(n_pk, packet, 3), direction.reshape(n_pk, packet, 3),
-            tmax_arr.reshape(n_pk, packet), cmin_pad, cmax_pad, t_min,
+            tmax_arr.reshape(n_pk, packet), gmin_pad, gmax_pad, t_min,
         )
-        ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, c_padded)
+        ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
         first = jnp.argmin(ent, axis=1).astype(jnp.int32)
         v1 = jnp.min(ent, axis=1)
-        ids_row = jnp.arange(c_padded, dtype=jnp.int32)[None, :]
+        ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
         ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
         second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
         v2 = jnp.min(ent2, axis=1)
-        sentinel = jnp.int32(c_padded)
+        sentinel = jnp.int32(g_padded)
         first = jnp.where(jnp.isfinite(v1), first, sentinel)
         second = jnp.where(jnp.isfinite(v2), second, sentinel)
-        key = first * (c_padded + 1) + second
+        key = first * (g_padded + 1) + second
         key = jnp.where(active, key, jnp.int32(1 << 30))
         lane = jax.lax.iota(jnp.int32, n)
         (_, lane_key, ox, oy, oz, dx, dy, dz, tmax_arr, active) = jax.lax.sort(
@@ -299,32 +326,27 @@ def intersect_clusters(
         origin = jnp.stack([ox, oy, oz], axis=-1)
         direction = jnp.stack([dx, dy, dz], axis=-1)
 
-    # ---- Phase 1: cull — exact per-ray slab test, fully fused -------------
-    # One fused (P, packet, C) slab test reduced straight to per-packet
+    # ---- Phase 1: cull — exact per-ray slab test vs group boxes, fused ----
+    # One fused (P, packet, G) slab test reduced straight to per-packet
     # tables: `entry` = nearest entry distance of any live ray into each
-    # cluster box, inf when no ray enters before its own t_max.  This is the
-    # massively-parallel half of traversal — XLA fuses the (P, pk, C)
-    # intermediates into the two reductions at HBM bandwidth, and the visit
-    # kernel then marches only clusters some ray genuinely enters (the old
-    # bundle-interval cull went unbounded on incoherent packets and made the
-    # kernel march ~every cluster at ~2 us each).
+    # group box, inf when no ray enters before its own t_max.
     o_p = origin.reshape(n_pk, packet, 3)
     d_p_full = direction.reshape(n_pk, packet, 3)
     act_p = active.reshape(n_pk, packet)
     tmax_p = tmax_arr.reshape(n_pk, packet)
 
-    tn, tf = _slab_tn_tf(o_p, d_p_full, tmax_p, cmin_pad, cmax_pad, t_min)
-    enter = (tn <= tf) & act_p[:, :, None]  # (P, pk, Cp)
-    entry = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1)  # (P, Cp)
+    tn, tf = _slab_tn_tf(o_p, d_p_full, tmax_p, gmin_pad, gmax_pad, t_min)
+    enter = (tn <= tf) & act_p[:, :, None]  # (P, pk, Gp)
+    entry = jnp.min(jnp.where(enter, tn, jnp.inf), axis=1)  # (P, Gp)
     nvis = jnp.sum(jnp.any(enter, axis=1), axis=1).astype(jnp.int32)  # (P,)
 
     # ---- Phase 2: visit loop ---------------------------------------------
-    # Sort each packet's candidates by entry distance (multi-operand sort
-    # carrying the cluster ids — take_along_axis would be a per-lane gather,
-    # ~0.25 us/element on TPU), then march the compacted prefix front-to-back
-    # so the best-hit cap prunes the tail.
+    # Sort each packet's group candidates by entry distance (multi-operand
+    # sort carrying the ids — take_along_axis would be a per-lane gather),
+    # then march the compacted prefix front-to-back so the best-hit cap
+    # prunes the tail.
     ids = jnp.broadcast_to(
-        jnp.arange(c_padded, dtype=jnp.int32)[None, :], (n_pk, c_padded)
+        jnp.arange(g_padded, dtype=jnp.int32)[None, :], (n_pk, g_padded)
     )
     entry_sorted, order = jax.lax.sort((entry, ids), dimension=1, num_keys=1)
 
@@ -335,9 +357,10 @@ def intersect_clusters(
         bt, btri, bu, bv = visit_pallas(
             nvis, order, entry_sorted, o_p, d_p, act_p,
             tmax_p,
-            cl.sub_aabbs,
+            cl.aabbs,
             cl.count, cl.start, cl.tris_rk,
             any_hit=any_hit, t_min=float(t_min), t_max=t_max_hi,
+            interpret=interpret,
         )
         best_t = bt.reshape(n)
         best_tri = btri.reshape(n)
@@ -361,9 +384,9 @@ def intersect_clusters(
             )
         return hit
 
-    V = VISITS_PER_STEP
+    V = GROUPS_PER_STEP
     # Pad the sorted tables so the last dynamic_slice window is in range.
-    pad_cols = (-c_padded) % V + V
+    pad_cols = (-g_padded) % V + V
     order = jnp.concatenate([order, jnp.zeros((n_pk, pad_cols), jnp.int32)], axis=1)
     entry_sorted = jnp.concatenate(
         [entry_sorted, jnp.full((n_pk, pad_cols), jnp.inf, jnp.float32)], axis=1
@@ -372,6 +395,7 @@ def intersect_clusters(
     d_p = direction.reshape(n_pk, packet, 3)
     rows = jnp.arange(n_pk)
     offs = jnp.arange(k, dtype=jnp.int32)
+    vc = V * GROUP_SIZE  # clusters per step (V groups expanded)
 
     init = (
         jnp.int32(0),  # window index
@@ -387,7 +411,7 @@ def intersect_clusters(
 
     def body(carry):
         w, best_t, best_tri, best_u, best_v, _ = carry
-        cids = jax.lax.dynamic_slice(order, (0, w * V), (n_pk, V))  # (P, V)
+        gids = jax.lax.dynamic_slice(order, (0, w * V), (n_pk, V))  # (P, V)
         t_ent = jax.lax.dynamic_slice(entry_sorted, (0, w * V), (n_pk, V))
         bt_p = best_t.reshape(n_pk, packet)
         if any_hit:
@@ -398,14 +422,19 @@ def intersect_clusters(
             cap = jnp.max(jnp.where(act_p, bt_p, 0.0), axis=1)
         do = (t_ent < cap[:, None]) & jnp.isfinite(t_ent)  # (P, V)
 
-        cidx = jnp.where(do, cids, 0)
-        blk_p0 = cl.p0[cidx]  # (P, V, 3, K)
+        # Expand each candidate group to its GROUP_SIZE member clusters.
+        cidx = (
+            jnp.where(do, gids, 0)[:, :, None] * GROUP_SIZE
+            + jnp.arange(GROUP_SIZE, dtype=jnp.int32)[None, None, :]
+        ).reshape(n_pk, vc)
+        do = jnp.broadcast_to(do[:, :, None], (n_pk, V, GROUP_SIZE)).reshape(n_pk, vc)
+        blk_p0 = cl.p0[cidx]  # (P, Vc, 3, K)
         blk_e1 = cl.e1[cidx]
         blk_e2 = cl.e2[cidx]
-        cnt = cl.count[cidx]  # (P, V)
+        cnt = cl.count[cidx]  # (P, Vc)
         base = cl.start[cidx]
 
-        kv = V * k
+        kv = vc * k
 
         def comp(blk, ax):
             return blk[:, :, ax, :].reshape(n_pk, 1, kv)
@@ -433,7 +462,7 @@ def intersect_clusters(
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
         in_range = (offs[None, None, :] < cnt[:, :, None]).reshape(n_pk, 1, kv)
-        do_mask = jnp.broadcast_to(do[:, :, None], (n_pk, V, k)).reshape(n_pk, 1, kv)
+        do_mask = jnp.broadcast_to(do[:, :, None], (n_pk, vc, k)).reshape(n_pk, 1, kv)
         valid = (
             (jnp.abs(det) > 1e-12)
             & (u >= 0.0)

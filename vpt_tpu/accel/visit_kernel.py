@@ -1,12 +1,16 @@
-"""Pallas TPU kernel for the cluster visit phase.
+"""Pallas TPU kernel for the cluster visit phase (two-level: group → cluster).
 
 Replaces TraceRay / RayQuery hardware traversal (RTCommon.slang:47-117).
-Each 128-ray packet is one grid program: it marches its entry-sorted,
-pre-compacted candidate list (built by the exact per-ray cull in
-vpt_tpu.accel.cluster), streaming one cluster block per visit through a
-2-slot VMEM buffer (the next candidate's DMA starts before this one's
-triangle math), and exits the moment the next candidate starts beyond every
-live ray's best hit.
+Each 128-ray packet is one grid program.  The XLA-side cull works at GROUP
+granularity (GROUP_SIZE=8 DFS-adjacent clusters per group) so its cost and
+sort widths scale with C/8; the kernel marches the packet's entry-sorted
+group candidates and recovers per-cluster exactness with cheap in-kernel
+slab tests:
+
+  for each candidate group (until next entry > every live ray's best hit):
+    for each of its 8 member clusters:
+      SMEM world-AABB slab test (~22 vector issues) — skip if no live ray
+      enters; otherwise DMA the cluster block and run sub-block tests + MT.
 
 Layout (the part that makes it fast):
 
@@ -18,10 +22,11 @@ Layout (the part that makes it fast):
   j of sub-block s is the (K/8, 1) column s*16+j.  The Möller-Trumbore
   block for one sub-block is (K/8, 128) — triangle index broadcasts down
   sublanes, rays across lanes, both operands broadcast naturally.
-* Each sub-block has its own AABB (SMEM side table): a ~20-issue slab test
-  against the packet skips the whole (K/8 x 128) MT block when no live ray
-  enters — the win that pays for everything else, since the kernel is
-  otherwise MT-flop-bound.
+* Sub-block AABBs ride the SAME DMA as the triangles (rows K/8..K/8+7 of
+  the block, lanes 0..5 = lo.xyz/hi.xyz) instead of SMEM, so per-cluster
+  SMEM stays at 8 floats (world AABB + cnt + base) and Sponza-scale cluster
+  counts fit.  The slab test reads them as (1, 1) static slices that
+  broadcast against the (1, 128) ray rows — no scalar extraction.
 """
 
 from __future__ import annotations
@@ -34,44 +39,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_SUB = 8  # sub-blocks per cluster
+GROUP_SIZE = 8  # clusters per group (build_clusters pads to an exact multiple)
 
 
 def _visit_kernel(
     any_hit: bool,
     t_min: float,
     t_max: float,
-    nv_ref,  # (1, 1, 1) i32 SMEM — number of real candidates for this packet
-    order_ref,  # (1, 1, Cp) i32 SMEM — this packet's clusters, entry-sorted
-    entry_ref,  # (1, 1, Cp) f32 SMEM — sorted entry distances (inf-padded)
+    n_sub_rows: int,
+    nv_ref,  # (1, 1, 1) i32 SMEM — number of candidate groups for this packet
+    order_ref,  # (1, 1, Gp) i32 SMEM — this packet's groups, entry-sorted
+    entry_ref,  # (1, 1, Gp) f32 SMEM — sorted entry distances (inf-padded)
     ox_ref, oy_ref, oz_ref,  # (1, 1, pk) f32 ray origins
     dx_ref, dy_ref, dz_ref,  # (1, 1, pk) f32 ray directions
     act_ref,  # (1, 1, pk) i32
     tmax_ref,  # (1, 1, pk) f32 — per-ray max distance (shadow rays stop short)
-    sab_ref,  # (1, 48C) f32 SMEM — sub-block AABBs [s*6: min.xyz, max.xyz]
+    cab_ref,  # (1, 6C) f32 SMEM — per-cluster world AABB [c*6: min.xyz, max.xyz]
     cnt_ref,  # (1, C) i32 SMEM — per-cluster triangle counts
     base_ref,  # (1, C) i32 SMEM — per-cluster start slot
-    tris_ref,  # (C, K/8, 128) f32 HBM — manual DMA (ClusterData.tris_rk)
+    tris_ref,  # (C, K/8 + 8, 128) f32 HBM — manual DMA (ClusterData.tris_rk)
     t_out,  # (1, 1, pk) f32
     tri_out,  # (1, 1, pk) i32
     u_out,  # (1, 1, pk) f32
     v_out,  # (1, 1, pk) f32
-    buf,  # (2, K/8, 128) f32 VMEM scratch
+    buf,  # (2, K/8 + 8, 128) f32 VMEM scratch
     sem,  # (2,) DMA semaphores
+    pend,  # (2,) i32 SMEM scratch: [pending cluster id (-1 = none), its slot]
 ):
     pk = ox_ref.shape[2]
-    sub = buf.shape[1]
+    sub = n_sub_rows  # triangles per sub-block = K / N_SUB
 
     t_out[...] = tmax_ref[...]
     tri_out[...] = jnp.full((1, 1, pk), -1, jnp.int32)
     u_out[...] = jnp.zeros((1, 1, pk), jnp.float32)
     v_out[...] = jnp.zeros((1, 1, pk), jnp.float32)
 
-    def dma(slot, w):
-        cid = order_ref[0, 0, w]
-        return pltpu.make_async_copy(tris_ref.at[cid], buf.at[slot], sem.at[slot])
-
     nv = nv_ref[0, 0, 0]
-    cont0 = nv > 0
 
     # Per-ray rows (1, pk) — one vreg each.
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
@@ -82,12 +85,17 @@ def _visit_kernel(
     inv_z = 1.0 / jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
     idx0 = jax.lax.broadcasted_iota(jnp.int32, (sub, pk), 0)
 
-    def _mt_sub(s, blk, live_row, cnt, base):
+    def live_row():
+        if any_hit:
+            return act & (tri_out[0] < 0)
+        return act
+
+    def _mt_sub(s, blk, live, cnt, base):
         """Möller-Trumbore on sub-block s: (sub, pk), triangles x rays."""
         c0 = s * 16
 
         def col(j):
-            return blk[:, c0 + j : c0 + j + 1]  # (sub, 1)
+            return blk[0:sub, c0 + j : c0 + j + 1]  # (sub, 1)
 
         p0x, p0y, p0z = col(0), col(1), col(2)
         e1x, e1y, e1z = col(3), col(4), col(5)
@@ -118,7 +126,7 @@ def _visit_kernel(
             & (t > t_min)
             & (t < bt)
             & (tri_idx < cnt)
-            & live_row
+            & live
         )
         t_masked = jnp.where(valid, t, jnp.inf)
         t_best = jnp.min(t_masked, axis=0, keepdims=True)  # (1, pk)
@@ -138,59 +146,37 @@ def _visit_kernel(
         u_out[...] = jnp.where(better, u_best, u_out[0]).reshape(1, 1, pk)
         v_out[...] = jnp.where(better, v_best, v_out[0]).reshape(1, 1, pk)
 
-    def cond(state):
-        return state[1]
+    def _slab_smem(cid, tf):
+        """World-AABB slab test from SMEM for cluster `cid` vs all rays."""
+        tn = jnp.full((1, pk), t_min, jnp.float32)
+        o6 = 6 * cid
+        for ax, (oc, ic) in enumerate(((ox, inv_x), (oy, inv_y), (oz, inv_z))):
+            s0 = (cab_ref[0, o6 + ax] - oc) * ic
+            s1 = (cab_ref[0, o6 + 3 + ax] - oc) * ic
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+        return tn <= tf
 
-    def body(state):
-        # State: (w, cont, pf) — iteration w runs (cont), DMA for w is in
-        # flight (pf; started by the previous iteration or the warmup).
-        w, _, _ = state
-        slot = jax.lax.rem(w, 2)
-        cid = order_ref[0, 0, w]
+    def _mt_cluster(cid, slot):
+        """Intersect the cluster whose block sits in buf[slot]."""
         cnt = cnt_ref[0, cid]
         base = base_ref[0, cid]
-
-        # Prefetch decision from the pre-merge cap (a superset of the
-        # post-merge continuation, so `cont` below implies `pf` and the loop
-        # never runs an un-started iteration).
-        bt0 = t_out[0]
-        if any_hit:
-            live0 = act & (tri_out[0] < 0)
-        else:
-            live0 = act
-        cap0 = jnp.max(jnp.where(live0, bt0, 0.0))
-        w2 = w + 1
-        nxt = entry_ref[0, 0, jnp.minimum(w2, nv - 1)]
-        pf_next = (w2 < nv) & (nxt < cap0)
-
-        dma(slot, w).wait()
-
-        # Start the next cluster's DMA right after this one's wait (a single
-        # DMA outstanding at any time — two outstanding per instance ABORTS
-        # the runtime when two kernel instances share one XLA program) so it
-        # streams in behind the triangle math below.
-        @pl.when(pf_next)
-        def _prefetch():
-            dma(1 - slot, w2).start()
-
         blk = buf[slot]
+        meta = buf[slot, sub : sub + N_SUB]  # (8, 128): row s lanes 0:6 = AABB
 
-        # Sub-block slab tests: ~20 single-vreg issues each, skipping whole
-        # (sub x pk) MT blocks no live ray can hit.
+        # Sub-block slab tests from the DMA'd metadata rows: (1,1) slices
+        # broadcast against (1, pk) ray rows — pure vector math.
         for s in range(N_SUB):
-            o6 = 48 * cid + 6 * s
-            bt_s = t_out[0]
-            if any_hit:
-                live_s = act & (tri_out[0] < 0)
-            else:
-                live_s = act
+            live_s = live_row()
             tn = jnp.full((1, pk), t_min, jnp.float32)
-            tf = bt_s
+            tf = t_out[0]
             for ax, (oc, ic) in enumerate(
                 ((ox, inv_x), (oy, inv_y), (oz, inv_z))
             ):
-                s0 = (sab_ref[0, o6 + ax] - oc) * ic
-                s1 = (sab_ref[0, o6 + 3 + ax] - oc) * ic
+                lo = meta[s : s + 1, ax : ax + 1]
+                hi = meta[s : s + 1, 3 + ax : 4 + ax]
+                s0 = (lo - oc) * ic
+                s1 = (hi - oc) * ic
                 tn = jnp.maximum(tn, jnp.minimum(s0, s1))
                 tf = jnp.minimum(tf, jnp.maximum(s0, s1))
             enter = (tn <= tf) & live_s
@@ -199,52 +185,103 @@ def _visit_kernel(
             def _do_sub(s=s, enter=enter, cnt=cnt, base=base):
                 _mt_sub(s, blk, enter, cnt, base)
 
+    pend[0] = jnp.int32(-1)  # cluster id whose DMA is in flight
+    pend[1] = jnp.int32(0)  # its buffer slot
+
+    # Software pipeline over the stream of entered member clusters (crossing
+    # group boundaries and while-loop iterations): when member `cid` passes
+    # its pre-test, the PREVIOUS entered cluster's DMA is waited, `cid`'s
+    # DMA starts into the other slot, and the previous cluster's triangle
+    # math runs — exactly one DMA in flight at any time (two outstanding
+    # per kernel instance aborts the TPU runtime), always overlapped with
+    # the prior cluster's MT blocks.
+    def _enqueue(cid):
+        prev = pend[0]
+        prev_slot = pend[1]
+
+        @pl.when(prev >= 0)
+        def _overlap():
+            slot = 1 - prev_slot
+            pltpu.make_async_copy(
+                tris_ref.at[prev], buf.at[prev_slot], sem.at[prev_slot]
+            ).wait()
+            pltpu.make_async_copy(tris_ref.at[cid], buf.at[slot], sem.at[slot]).start()
+            pend[0] = cid
+            pend[1] = slot
+            _mt_cluster(prev, prev_slot)
+
+        @pl.when(prev < 0)
+        def _first():
+            pltpu.make_async_copy(
+                tris_ref.at[cid], buf.at[prev_slot], sem.at[prev_slot]
+            ).start()
+            pend[0] = cid
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        w, _ = state
+        g = order_ref[0, 0, w]
+        c0 = g * GROUP_SIZE
+
+        # Member clusters: SMEM world-AABB pre-test; entered members join
+        # the pipelined DMA/MT stream.
+        for m in range(GROUP_SIZE):
+            cid = c0 + m
+            enter_m = _slab_smem(cid, jnp.where(live_row(), t_out[0], t_min))
+
+            @pl.when(jnp.any(enter_m))
+            def _go(cid=cid):
+                _enqueue(cid)
+
+        # Early exit: t_out may lag by the one still-pending cluster, which
+        # only makes the cap conservative (never skips required work).
         bt_now = t_out[0]
-        if any_hit:
-            live = act & (tri_out[0] < 0)
-        else:
-            live = act
-        cap = jnp.max(jnp.where(live, bt_now, 0.0))
-        cont = pf_next & (nxt < cap)
-        return w2, cont, pf_next
+        cap = jnp.max(jnp.where(live_row(), bt_now, 0.0))
+        w2 = w + 1
+        nxt = entry_ref[0, 0, jnp.minimum(w2, nv - 1)]
+        cont = (w2 < nv) & (nxt < cap)
+        return w2, cont
 
-    @pl.when(cont0)
-    def _warmup():
-        dma(jnp.int32(0), jnp.int32(0)).start()
+    cont0 = nv > 0
+    jax.lax.while_loop(cond, body, (jnp.int32(0), cont0))
 
-    w_f, _, pf_f = jax.lax.while_loop(cond, body, (jnp.int32(0), cont0, cont0))
+    # Drain: the last entered cluster is still pending.
+    last = pend[0]
 
-    # The loop may exit with the prefetch for w_f still in flight (started
-    # under the conservative pre-merge cap); drain it before the program ends.
-    @pl.when(pf_f)
+    @pl.when(last >= 0)
     def _drain():
-        dma(jax.lax.rem(w_f, 2), w_f).wait()
+        slot = pend[1]
+        pltpu.make_async_copy(tris_ref.at[last], buf.at[slot], sem.at[slot]).wait()
+        _mt_cluster(last, slot)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "t_max", "interpret"))
 def visit_pallas(
-    nvis,  # (P,) i32 — per-packet candidate count (compacted list length)
-    order,  # (P, Cp) i32
-    entry_sorted,  # (P, Cp) f32
+    nvis,  # (P,) i32 — per-packet candidate GROUP count
+    order,  # (P, Gp) i32 — entry-sorted group ids
+    entry_sorted,  # (P, Gp) f32
     o_p,  # (P, pk, 3)
     d_p,  # (P, pk, 3)
     act_p,  # (P, pk) bool
     tmax_p,  # (P, pk) f32 per-ray max distance
-    sub_aabbs,  # (C, 48) f32 sub-block bounds (ClusterData.sub_aabbs)
+    cluster_aabbs,  # (C, 6) f32 world AABBs (ClusterData.aabbs)
     cnt,  # (C,) i32
     base,  # (C,) i32
-    tris_rk,  # (C, K/8, 128) f32 (ClusterData.tris_rk)
+    tris_rk,  # (C, K/8 + 8, 128) f32 (ClusterData.tris_rk)
     any_hit: bool = False,
     t_min: float = 1e-4,
     t_max: float = 1e8,
     interpret: bool = False,
 ):
-    n_pk, cp = order.shape
+    n_pk, gp = order.shape
     pk = o_p.shape[1]
     c = cnt.shape[0]
-    sub = tris_rk.shape[1]
+    rows = tris_rk.shape[1]
+    sub = rows - N_SUB
 
-    kernel = functools.partial(_visit_kernel, any_hit, t_min, t_max)
+    kernel = functools.partial(_visit_kernel, any_hit, t_min, t_max, sub)
     out_shape = [
         jax.ShapeDtypeStruct((n_pk, 1, pk), jnp.float32),
         jax.ShapeDtypeStruct((n_pk, 1, pk), jnp.int32),
@@ -261,13 +298,13 @@ def visit_pallas(
             # Scalar-indexed tables live in SMEM (Mosaic requires aligned
             # dynamic indexing in VMEM lanes; SMEM reads are scalar loads).
             pl.BlockSpec((1, 1, 1), row3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, cp), row3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, cp), row3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, gp), row3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, gp), row3, memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec,  # ox, oy, oz
             ray_spec, ray_spec, ray_spec,  # dx, dy, dz
             ray_spec,  # act
             ray_spec,  # tmax
-            pl.BlockSpec((1, 48 * c), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6 * c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             # Cluster blocks stay in HBM and are DMA'd per visit (letting the
@@ -277,14 +314,15 @@ def visit_pallas(
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, sub, 128), jnp.float32),
+            pltpu.VMEM((2, rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
         interpret=interpret,
     )(
         nvis.reshape(n_pk, 1, 1),
-        order.reshape(n_pk, 1, cp),
-        entry_sorted.reshape(n_pk, 1, cp),
+        order.reshape(n_pk, 1, gp),
+        entry_sorted.reshape(n_pk, 1, gp),
         o_p[:, :, 0].reshape(n_pk, 1, pk),
         o_p[:, :, 1].reshape(n_pk, 1, pk),
         o_p[:, :, 2].reshape(n_pk, 1, pk),
@@ -293,7 +331,7 @@ def visit_pallas(
         d_p[:, :, 2].reshape(n_pk, 1, pk),
         act_p.astype(jnp.int32).reshape(n_pk, 1, pk),
         tmax_p.reshape(n_pk, 1, pk),
-        sub_aabbs.reshape(1, 48 * c),
+        cluster_aabbs.reshape(1, 6 * c),
         cnt.reshape(1, c),
         base.reshape(1, c),
         tris_rk,

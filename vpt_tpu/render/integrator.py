@@ -338,24 +338,38 @@ def path_trace_sample(
             need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
             sky_org = surf.world_pos + surf.normal * 1e-5
             light_org = surf.world_pos + to_light * 1e-2
-        shadow_org = jnp.concatenate([sky_org, light_org])
-        shadow_dir = jnp.concatenate([to_sky, to_light])
-        shadow_active = jnp.concatenate([need_sky, need_light])
         # Shadow rays are any-hit queries: the light ray's t_max stops just
         # short of the sampled point (the reference instead compares the hit
         # triangle id, RayGen.slang:300-301; distance-epsilon is equivalent
         # up to grazing-angle epsilons and lets every ray exit at its first
         # blocker).  Offsets: origin already moved 1e-2 along the ray.
-        shadow_tmax = jnp.concatenate(
-            [jnp.full(n, traverse.T_MAX, jnp.float32),
-             jnp.maximum(light_dist - 2e-2, traverse.T_MIN)]
+        # Only trace the NEE halves that are statically enabled — a disabled
+        # half would be N dead lanes still paying cull+sort+dispatch.
+        sky_half = bool(flags.enable_sky_mis)
+        light_half = bool(use_mesh_nee)
+        parts = []
+        if sky_half:
+            parts.append((sky_org, to_sky, need_sky,
+                          jnp.full(n, traverse.T_MAX, jnp.float32)))
+        if light_half:
+            parts.append((light_org, to_light, need_light,
+                          jnp.maximum(light_dist - 2e-2, traverse.T_MIN)))
+        if parts:
+            shadow_org = jnp.concatenate([p[0] for p in parts])
+            shadow_dir = jnp.concatenate([p[1] for p in parts])
+            shadow_active = jnp.concatenate([p[2] for p in parts])
+            shadow_tmax = jnp.concatenate([p[3] for p in parts])
+            shadow_hit = trace(
+                scene, meta, shadow_org, shadow_dir, shadow_active,
+                t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
+            )
+        else:
+            shadow_active = jnp.zeros(0, bool)
+        sky_blocked = shadow_hit.t[:n] >= 0.0 if sky_half else jnp.zeros(n, bool)
+        light_visible = (
+            shadow_hit.t[n if sky_half else 0:] < 0.0
+            if light_half else jnp.zeros(n, bool)
         )
-        shadow_hit = trace(
-            scene, meta, shadow_org, shadow_dir, shadow_active,
-            t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
-        )
-        sky_blocked = shadow_hit.t[:n] >= 0.0
-        light_visible = shadow_hit.t[n:] < 0.0
         can_hit_sky = need_sky & ~sky_blocked
         can_hit_light = need_light & light_visible
 

@@ -239,6 +239,180 @@ def sphere_garden(grid=10, sphere_res=(16, 32), seed=5) -> Scene:
     )
 
 
+def make_fluted_column(
+    radius=0.5, height=4.0, n_seg=64, n_rings=24, flutes=12, flute_depth=0.06
+) -> Mesh:
+    """A fluted column with a square base and capital — a high-poly
+    architectural element (Sponza-style), ~n_seg*n_rings*2 triangles."""
+    ang = np.linspace(0.0, 2 * np.pi, n_seg + 1)
+    ys = np.linspace(0.0, height, n_rings + 1)
+    a, y = np.meshgrid(ang, ys, indexing="ij")  # (n_seg+1, n_rings+1)
+    # Entasis (slight taper) + flutes
+    taper = 1.0 - 0.15 * (y / height) ** 1.5
+    r = radius * taper * (1.0 - flute_depth * (0.5 + 0.5 * np.cos(flutes * a)))
+    x = r * np.cos(a)
+    z = r * np.sin(a)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    # Normals: analytic-ish via position derivative approximation (radial with
+    # flute perturbation); good enough for shading tests.
+    nx = np.cos(a) + flute_depth * flutes * np.sin(flutes * a) * -np.sin(a)
+    nz = np.sin(a) + flute_depth * flutes * np.sin(flutes * a) * np.cos(a)
+    nrm = np.stack([nx, np.zeros_like(nx), nz], axis=-1).reshape(-1, 3)
+    nrm = (nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)).astype(np.float32)
+    uv = np.stack([a / (2 * np.pi), y / height], axis=-1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    stride = n_rings + 1
+    for i in range(n_seg):
+        for j in range(n_rings):
+            p = i * stride + j
+            q = (i + 1) * stride + j
+            idx += [p, q, p + 1, q, q + 1, p + 1]
+    indices = _fix_winding(pts, nrm, np.array(idx, np.uint32))
+    shaft = Mesh(pts, nrm, uv, indices, name="column-shaft")
+
+    parts = [shaft]
+    for cy, s in ((0.0, 1.5), (height, 1.3)):
+        cap = make_box((radius * s * 2, radius * 0.5, radius * s * 2),
+                       (0.0, cy + (0.125 if cy == 0 else -0.125) * radius, 0.0))
+        parts.append(cap)
+    pos = np.concatenate([m.positions for m in parts])
+    nor = np.concatenate([m.normals for m in parts])
+    uvs = np.concatenate([m.uvs for m in parts])
+    off, ind = 0, []
+    for m in parts:
+        ind.append(np.asarray(m.indices, np.uint32) + off)
+        off += m.positions.shape[0]
+    return Mesh(pos, nor, uvs, np.concatenate(ind), name="column")
+
+
+def make_ripple_quad(width, height, nx=64, ny=64, amp=0.1, freq=3.0) -> Mesh:
+    """A subdivided quad with a sinusoidal ripple (stand-in for drapes)."""
+    xs = np.linspace(-width / 2, width / 2, nx + 1)
+    ys = np.linspace(0.0, height, ny + 1)
+    x, y = np.meshgrid(xs, ys, indexing="ij")
+    z = amp * np.sin(freq * x / width * 2 * np.pi) * np.sin(freq * y / height * np.pi)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    dzdx = amp * freq * 2 * np.pi / width * np.cos(freq * x / width * 2 * np.pi) * np.sin(freq * y / height * np.pi)
+    dzdy = amp * freq * np.pi / height * np.sin(freq * x / width * 2 * np.pi) * np.cos(freq * y / height * np.pi)
+    nrm = np.stack([-dzdx, -dzdy, np.ones_like(dzdx)], axis=-1).reshape(-1, 3)
+    nrm = (nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)).astype(np.float32)
+    uv = np.stack([x / width + 0.5, y / height], axis=-1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    stride = ny + 1
+    for i in range(nx):
+        for j in range(ny):
+            p = i * stride + j
+            q = (i + 1) * stride + j
+            idx += [p, q, p + 1, q, q + 1, p + 1]
+    indices = _fix_winding(pts, nrm, np.array(idx, np.uint32))
+    return Mesh(pts, nrm, uv, indices, name="drape")
+
+
+def colonnade(n_columns=8, column_res=(96, 40)) -> Scene:
+    """Sponza-class benchmark scene (~340K triangles at defaults): a two-row
+    colonnaded courtyard with fluted columns (all INSTANCES of one mesh),
+    rippled drapes, statues, and a sun-hotspot sky.  This is the scene
+    BASELINE.md's segments/s target is measured on — a real-scale stand-in
+    for the reference's Sponza workflows (its own Sponza asset is not
+    bundled; Assets/BreakfastRoom.gltf is unloadable — .bin absent)."""
+    meshes, instances, materials = [], [], []
+
+    def add_mesh(mesh):
+        meshes.append(mesh)
+        return len(meshes) - 1
+
+    def add_mat(m):
+        materials.append(m)
+        return len(materials) - 1
+
+    def inst(mesh_id, mat_id, translate=(0, 0, 0), scale=1.0, yaw=0.0, name=""):
+        t = np.eye(4, dtype=np.float32)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        t[:3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32) * scale
+        t[:3, 3] = translate
+        instances.append(Instance(mesh=mesh_id, material=mat_id, transform=t, name=name))
+
+    stone = add_mat(Material(name="stone", base_color=(0.55, 0.52, 0.48), roughness=0.85))
+    floor_m = add_mat(Material(name="floor", base_color=(0.4, 0.38, 0.36), roughness=0.6))
+    red_drape = add_mat(Material(name="drape-red", base_color=(0.45, 0.06, 0.06), roughness=0.95))
+    green_drape = add_mat(Material(name="drape-green", base_color=(0.07, 0.3, 0.1), roughness=0.95))
+    brass = add_mat(Material(name="brass", base_color=(0.85, 0.62, 0.3), metallic=1.0, roughness=0.25))
+    glass = add_mat(Material(name="glass", base_color=(1, 1, 1), transmission=1.0, ior=1.5, roughness=0.03))
+    lamp = add_mat(Material(name="lamp", base_color=(1, 1, 1), emissive_color=(40.0, 32.0, 22.0)))
+
+    L, W, H = 34.0, 14.0, 10.0  # courtyard extent
+    floor = add_mesh(make_ripple_quad(L, W, nx=48, ny=24, amp=0.0))
+    # Lay the floor flat (the ripple quad is built in XY facing +Z).
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+    t[:3, 3] = [0.0, 0.0, W / 2]
+    instances.append(Instance(mesh=floor, material=floor_m, transform=t, name="floor"))
+
+    wall = add_mesh(make_ripple_quad(L, H, nx=48, ny=16, amp=0.0))
+    inst(wall, stone, (0.0, 0.0, -W / 2), name="wall-back")
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = np.array([[-1, 0, 0], [0, 1, 0], [0, 0, -1]], np.float32)
+    t[:3, 3] = [0.0, 0.0, W / 2]
+    instances.append(Instance(mesh=wall, material=stone, transform=t, name="wall-front"))
+    end_wall = add_mesh(make_ripple_quad(W, H, nx=24, ny=16, amp=0.0))
+    inst(end_wall, stone, (-L / 2, 0.0, 0.0), yaw=-np.pi / 2, name="wall-west")
+    inst(end_wall, stone, (L / 2, 0.0, 0.0), yaw=np.pi / 2, name="wall-east")
+
+    # Column instances — ONE high-poly mesh shared by every column.
+    column = add_mesh(make_fluted_column(n_seg=column_res[0], n_rings=column_res[1]))
+    xs = np.linspace(-L / 2 + 3.0, L / 2 - 3.0, n_columns)
+    for i, x in enumerate(xs):
+        for z in (-W / 2 + 2.2, W / 2 - 2.2):
+            inst(column, stone, (float(x), 0.0, float(z)),
+                 scale=1.0 + 0.05 * ((i * 7) % 3), name=f"col{i}{'n' if z < 0 else 's'}")
+
+    # Drapes hanging between columns (high-poly ripple quads).
+    drape = add_mesh(make_ripple_quad(2.6, 5.0, nx=64, ny=88, amp=0.25, freq=4.0))
+    for i in range(n_columns - 1):
+        x = float(0.5 * (xs[i] + xs[i + 1]))
+        mat = red_drape if i % 2 == 0 else green_drape
+        inst(drape, mat, (x, 2.5, -W / 2 + 2.0), name=f"drape-n{i}")
+        inst(drape, mat, (x, 2.5, W / 2 - 2.0), yaw=np.pi, name=f"drape-s{i}")
+
+    # Statues: distorted spheres on pedestals down the middle.
+    statue = add_mesh(make_uv_sphere(radius=0.8, n_lat=48, n_lon=96))
+    pedestal = add_mesh(make_box((1.2, 1.0, 1.2)))
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        x = float(-L / 2 + 5.0 + i * 6.0)
+        mat = brass if i % 2 == 0 else glass
+        inst(pedestal, stone, (x, 0.5, 0.0), name=f"ped{i}")
+        inst(statue, mat, (x, 1.9, 0.0), scale=float(rng.uniform(0.9, 1.2)), name=f"statue{i}")
+
+    # Hanging lamps (emissive) — exercises mesh NEE at scale.
+    lamp_mesh = add_mesh(make_uv_sphere(radius=0.18, n_lat=8, n_lon=16))
+    for i in range(4):
+        x = float(-L / 2 + 6.0 + i * 7.0)
+        inst(lamp_mesh, lamp, (x, 6.5, 0.0), name=f"lamp{i}")
+
+    # Sky: blue gradient + sun hotspot for env importance sampling.
+    h, w = 64, 128
+    ys = np.linspace(-1, 1, h)[:, None]
+    sky = np.stack(
+        [0.3 + 0.25 * (1 - ys), 0.45 + 0.3 * (1 - ys), 0.85 + 0.15 * (1 - ys)], axis=-1
+    ) * np.ones((h, w, 3), np.float32)
+    sky[10:14, 88:92] = 400.0
+    sky = sky.astype(np.float32)
+
+    view = look_at((-L / 2 + 2.0, 3.2, 2.8), (L / 2, 2.2, -1.5), (0.0, 1.0, 0.0))
+    return Scene(
+        meshes=meshes,
+        instances=instances,
+        materials=materials,
+        textures=default_textures(),
+        camera_view=view,
+        camera_fov_deg=55.0,
+        camera_aspect=1.0,
+        env_map=sky,
+        name="colonnade",
+    )
+
+
 def furnace_sphere(albedo=1.0, sky=1.0) -> Scene:
     """A single sphere under a uniform environment — the furnace test scene."""
     sphere = make_uv_sphere(radius=1.0, n_lat=16, n_lon=32)
