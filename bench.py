@@ -49,8 +49,8 @@ def main():
 
     # Timed dispatches in groups; report the best group — the TPU relay has
     # +-50% run-to-run contention variance and we want device capability.
-    n_groups, per_group = 3, 2
-    best = 0.0
+    n_groups, per_group = 2, 2
+    rates = []
     total_segments = 0.0
     elapsed = 0.0
     i = 0
@@ -66,11 +66,12 @@ def main():
             group_segs += float(segs)
             i += 1
         dt = time.perf_counter() - t0
-        best = max(best, group_segs / dt)
+        rates.append(group_segs / dt)
         total_segments += group_segs
         elapsed += dt
 
-    value = best
+    value = max(rates)
+    median = float(np.median(rates))
     print(
         json.dumps(
             {
@@ -80,6 +81,7 @@ def main():
                 "vs_baseline": value / BASELINE_SEGMENTS_PER_SEC,
                 "detail": {
                     "scene": "colonnade",
+                    "median_segments_per_sec": median,
                     "n_tris": meta.n_tris,
                     "resolution": [width, height],
                     "spp_per_dispatch": spp_per_dispatch,

@@ -1,6 +1,6 @@
 """Profile one render dispatch on the TPU and print a per-op time summary.
 
-Usage: python scripts/profile_dispatch.py [size] [spp]
+Usage: python scripts/profile_dispatch.py [size] [spp] [scene]
 Writes the xplane trace to /tmp/vpt_profile and parses it with
 jax.profiler.ProfileData (device op lanes), aggregating self-time by op name.
 """
@@ -24,12 +24,13 @@ def main():
     from vpt_tpu.core.camera import perspective
     from vpt_tpu.render.params import RenderFlags, default_params
     from vpt_tpu.scene.build import compile_scene
-    from vpt_tpu.scene.procedural import sphere_garden
+    from vpt_tpu.scene import procedural
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    scene_name = sys.argv[3] if len(sys.argv) > 3 else "colonnade"
 
-    scene = sphere_garden()
+    scene = getattr(procedural, scene_name)()
     data, meta, aux = compile_scene(scene)
     view = aux["camera_view"]
     proj = perspective(np.radians(aux["camera_fov_deg"]), 1.0)

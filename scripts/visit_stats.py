@@ -22,7 +22,7 @@ from vpt_tpu.core.camera import perspective
 from vpt_tpu.core.tiling import tiled_pixel_order
 from vpt_tpu.render.params import default_params
 from vpt_tpu.scene.build import compile_scene
-from vpt_tpu.scene.procedural import sphere_garden
+from vpt_tpu.scene import procedural
 
 
 def stats(name, origin, direction, cl, sort_rays):
@@ -63,9 +63,22 @@ def stats(name, origin, direction, cl, sort_rays):
     per_ray = enter.sum(axis=2)  # clusters entered per ray
     per_packet = enter.any(axis=1).sum(axis=1)  # candidates per packet
 
+    # Group-level candidates (what the kernel actually marches now).
+    g = cl.group_min.shape[0]
+    g_padded = -(-g // 128) * 128
+    gmin_pad = jnp.concatenate([cl.group_min, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]).T
+    gmax_pad = jnp.concatenate([cl.group_max, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]).T
+    gtn, gtf = _slab_tn_tf(
+        origin.reshape(n_pk, packet, 3), direction.reshape(n_pk, packet, 3),
+        tmax.reshape(n_pk, packet), gmin_pad, gmax_pad, 1e-4,
+    )
+    g_enter = np.asarray(gtn <= gtf)
+    g_per_packet = g_enter.any(axis=1).sum(axis=1)
+
     # Sub-block occupancy: for each (packet, candidate) pair, how many of the
     # 8 sub-AABBs does at least one entering ray hit?
-    sab = np.asarray(cl.sub_aabbs).reshape(c, 8, 6)
+    nrows = cl.tris_rk.shape[1]
+    sab = np.asarray(cl.tris_rk)[:, nrows - 8 :, :6]  # (c, 8, 6)
     o = np.asarray(origin).reshape(n_pk, packet, 3)
     d = np.asarray(direction).reshape(n_pk, packet, 3)
     inv = 1.0 / np.where(np.abs(d) > 1e-20, d, 1e-20)
@@ -92,6 +105,7 @@ def stats(name, origin, direction, cl, sort_rays):
     print(f"  clusters entered per ray:    mean {per_ray.mean():.2f}  p50 {np.percentile(per_ray,50):.0f}  p95 {np.percentile(per_ray,95):.0f}")
     print(f"  candidates per packet:       mean {per_packet.mean():.2f}  p50 {np.percentile(per_packet,50):.0f}  p95 {np.percentile(per_packet,95):.0f}  max {per_packet.max()}")
     print(f"  SIMD waste (pkt/ray ratio):  {per_packet.mean()/max(per_ray.mean(),1e-9):.2f}x")
+    print(f"  group candidates per packet: mean {g_per_packet.mean():.2f}  p95 {np.percentile(g_per_packet,95):.0f}  (G={g})")
     if len(subs_run):
         print(f"  sub-blocks run per visit:    mean {subs_run.mean():.2f} / 8   (MT flops/visit {subs_run.mean()*128*128*40/1e6:.2f} MF)")
         per_visit_us = subs_run.mean() * 128 * 128 * 40 / 4e12 * 1e6
@@ -99,7 +113,9 @@ def stats(name, origin, direction, cl, sort_rays):
 
 
 def main():
-    scene = sphere_garden()
+    import sys as _sys
+    name = _sys.argv[1] if len(_sys.argv) > 1 else "sphere_garden"
+    scene = getattr(procedural, name)()
     data, meta, aux = compile_scene(scene)
     cl = data.clusters
     view = aux["camera_view"]

@@ -27,6 +27,7 @@ match closest-hit queries exactly; `any_hit` is the shadow-query shortcut.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -37,32 +38,50 @@ from vpt_tpu.accel.bvh import FlatBVH
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE
 
-CLUSTER_SIZE = 1024  # tris per cluster: amortizes the per-visit scalar overhead
+# Tris per cluster: amortizes the per-visit scalar overhead (perf knob,
+# swept on the bench scene; see PERF.md).
+CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "1024"))
+_SORT_KEY = os.environ.get("VPT_SORT_KEY", "fs")  # fs=first+second, fe=first+entry
 PACKET_SIZE = 128  # rays per packet
 GROUPS_PER_STEP = 1  # groups each packet processes per fallback loop step
 
 
 class ClusterData(NamedTuple):
+    """Two-level (group → cluster) acceleration tables with instancing.
+
+    This is the TLAS/BLAS re-expression (PathTracer.cpp:433-502): `tris` /
+    `tris_rk` hold one block set per UNIQUE mesh (the BLAS), built in mesh-
+    local space; the per-cluster tables are per INSTANCE-cluster (the TLAS),
+    with world AABBs and a per-instance world→local transform the kernel
+    applies to rays before triangle tests (t stays world-parametric because
+    the local direction is left unnormalized).  The flattened single-
+    instance path is the special case n_inst=1, identity transform.
+    """
+
     aabb_min: jnp.ndarray  # (C, 3) world cluster boxes (padded entries inverted)
     aabb_max: jnp.ndarray  # (C, 3)
     aabbs: jnp.ndarray  # (C, 6) f32 [min.xyz, max.xyz] — kernel SMEM table
     group_min: jnp.ndarray  # (G, 3) — group = GROUP_SIZE consecutive clusters
     group_max: jnp.ndarray  # (G, 3)
-    start: jnp.ndarray  # (C,) i32 — offset into reordered tri arrays
+    start: jnp.ndarray  # (C,) i32 — VIRTUAL triangle-id base of the cluster
     count: jnp.ndarray  # (C,) i32 — triangles in the cluster (<= K)
-    tris: jnp.ndarray  # (C, 16, K) dense blocks: rows 0-8 = [p0.xyz, e1.xyz,
-    # e2.xyz], rows 9-15 padding (8-row DMA alignment).  Component-major so
-    # per-axis slices keep triangles in VPU lanes; used by the XLA fallback
-    # visit loop (CPU tests) only.
-    tris_rk: jnp.ndarray  # (C, K/8 + 8, 128) kernel blocks, sub-block
-    # interleaved: [c, k, s*16 + j] = component j (0..8 = p0.xyz, e1.xyz,
+    block_id: jnp.ndarray  # (C,) i32 — row of tris/tris_rk holding the
+    # cluster's (mesh-local) triangle block; instances of one mesh share rows
+    inst: jnp.ndarray  # (C,) i32 — owning instance (transform table row)
+    inv_rows: jnp.ndarray  # (n_inst, 12) f32 — world→local affine per
+    # instance, row-major [R00 R01 R02 T0  R10 R11 R12 T1  R20 R21 R22 T2]
+    tris: jnp.ndarray  # (B, 16, K) dense mesh-local blocks: rows 0-8 =
+    # [p0.xyz, e1.xyz, e2.xyz], rows 9-15 padding (8-row DMA alignment).
+    # Component-major; used by the XLA fallback visit loop (CPU tests) only.
+    tris_rk: jnp.ndarray  # (B, K/8 + 8, 128) kernel blocks, sub-block
+    # interleaved: [b, k, s*16 + j] = component j (0..8 = p0.xyz, e1.xyz,
     # e2.xyz; 9..15 pad) of triangle s*(K/8) + k, for k < K/8.  Triangle
     # index sits in SUBLANES and the 8 sub-blocks share the 128 lanes, so
     # the Pallas kernel slices component columns (K/8, 1) per sub-block,
     # broadcasts rays along LANES as (1, pk) single-vreg rows, and skips
     # whole sub-blocks whose sub-AABB no ray enters.  Rows K/8..K/8+7 are a
     # metadata tile riding the same DMA: row K/8+s lanes 0..5 hold
-    # sub-block s's [lo.xyz, hi.xyz].
+    # sub-block s's mesh-local [lo.xyz, hi.xyz].
 
     @property
     def p0(self):
@@ -81,14 +100,20 @@ class ClusterData(NamedTuple):
         return int(self.aabb_min.shape[0])
 
 
-def build_clusters(
-    bvh: FlatBVH, tri_p0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
-    cluster_size: int = CLUSTER_SIZE,
-) -> ClusterData:
-    """Cut the BVH into subtree clusters of <= cluster_size triangles.
+class MeshClusters(NamedTuple):
+    """Host-side per-mesh (BLAS) cluster set in mesh-local space."""
 
-    tri_* are the *reordered* triangle arrays (bvh.tri_order applied).
-    """
+    cmin: np.ndarray  # (Cm, 3) local cluster AABBs
+    cmax: np.ndarray  # (Cm, 3)
+    start: np.ndarray  # (Cm,) i32 local reordered-slot base
+    count: np.ndarray  # (Cm,) i32
+    tris: np.ndarray  # (Cm, 16, K) fallback blocks (local)
+    tris_rk: np.ndarray  # (Cm, K/8 + 8, 128) kernel blocks (local)
+
+
+def _cut_ranges(bvh: FlatBVH, cluster_size: int):
+    """Cut the BVH into subtree clusters of <= cluster_size triangles and
+    greedily merge adjacent cuts; returns [(lo, hi, aabb_min, aabb_max)]."""
     n_nodes = bvh.n_nodes
     count = bvh.tri_count
     first = bvh.first_tri
@@ -140,24 +165,23 @@ def build_clusters(
                 ranges[-1] = (plo, hi[i], mmn, mmx)
                 continue
         ranges.append((lo[i], hi[i], bvh.aabb_min[i].copy(), bvh.aabb_max[i].copy()))
+    return ranges
 
-    # Pad the cluster list to an exact multiple of GROUP_SIZE with empty
-    # clusters (inverted AABBs, zero count) so every group is exactly
-    # GROUP_SIZE consecutive clusters — the kernel then maps group g to
-    # clusters [g*GROUP_SIZE, (g+1)*GROUP_SIZE) with no start/count tables.
+
+def build_mesh_clusters(
+    bvh: FlatBVH, tri_p0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
+    cluster_size: int = CLUSTER_SIZE,
+) -> MeshClusters:
+    """Per-mesh BLAS: cluster blocks over the *reordered* local triangle
+    arrays (bvh.tri_order applied by the caller)."""
+    ranges = _cut_ranges(bvh, cluster_size)
     c = len(ranges)
-    c_pad = -(-c // GROUP_SIZE) * GROUP_SIZE
     k = cluster_size
     BIG = 3e9
-    cmin = np.full((c_pad, 3), BIG, np.float32)
-    cmax = np.full((c_pad, 3), -BIG, np.float32)
-    cmin[:c] = np.stack([r[2] for r in ranges])
-    cmax[:c] = np.stack([r[3] for r in ranges])
-    start = np.zeros(c_pad, np.int32)
-    cnt = np.zeros(c_pad, np.int32)
-    start[:c] = np.array([r[0] for r in ranges], np.int32)
-    cnt[:c] = np.array([r[1] - r[0] for r in ranges], np.int32)
-    c = c_pad
+    cmin = np.stack([r[2] for r in ranges]).astype(np.float32)
+    cmax = np.stack([r[3] for r in ranges]).astype(np.float32)
+    start = np.array([r[0] for r in ranges], np.int32)
+    cnt = np.array([r[1] - r[0] for r in ranges], np.int32)
     p0 = np.zeros((c, k, 3), np.float32)
     e1 = np.zeros((c, k, 3), np.float32)
     e2 = np.zeros((c, k, 3), np.float32)
@@ -203,7 +227,80 @@ def build_clusters(
         tris_rk[:, sub + s, 0:3] = lo
         tris_rk[:, sub + s, 3:6] = hi
 
-    g = c // GROUP_SIZE
+    return MeshClusters(
+        cmin=cmin, cmax=cmax, start=start, count=cnt,
+        tris=np.ascontiguousarray(tris), tris_rk=np.ascontiguousarray(tris_rk),
+    )
+
+
+def _transform_aabb(lo, hi, m):
+    """World AABB of a transformed local box (8 corners through affine m)."""
+    corners = np.array(
+        [
+            [x, y, z]
+            for x in (lo[0], hi[0])
+            for y in (lo[1], hi[1])
+            for z in (lo[2], hi[2])
+        ],
+        np.float64,
+    )
+    w = corners @ m[:3, :3].T + m[:3, 3]
+    return w.min(axis=0).astype(np.float32), w.max(axis=0).astype(np.float32)
+
+
+def assemble_clusters(
+    mesh_clusters: list[MeshClusters],
+    instance_specs: list[tuple[int, np.ndarray, int]],
+) -> ClusterData:
+    """TLAS assembly: per-instance cluster tables over shared mesh blocks.
+
+    `instance_specs` is [(mesh_cluster_index, transform(4,4), virt_tri_base)]
+    — virt_tri_base is the instance's base in the virtual (per-instance)
+    triangle-id space that shading tables are indexed by.
+    """
+    block_base = []
+    b = 0
+    for mc in mesh_clusters:
+        block_base.append(b)
+        b += mc.cmin.shape[0]
+
+    cmin_l, cmax_l, start_l, cnt_l, blk_l, inst_l, inv_l = [], [], [], [], [], [], []
+    for ii, (mi, transform, virt_base) in enumerate(instance_specs):
+        mc = mesh_clusters[mi]
+        m = np.asarray(transform, np.float64)
+        inv = np.linalg.inv(m)
+        inv_l.append(inv[:3, :4].astype(np.float32).reshape(12))
+        for c in range(mc.cmin.shape[0]):
+            lo, hi = _transform_aabb(mc.cmin[c], mc.cmax[c], m)
+            cmin_l.append(lo)
+            cmax_l.append(hi)
+            start_l.append(virt_base + int(mc.start[c]))
+            cnt_l.append(int(mc.count[c]))
+            blk_l.append(block_base[mi] + c)
+            inst_l.append(ii)
+
+    # Pad the cluster list to an exact multiple of GROUP_SIZE with empty
+    # clusters (inverted AABBs, zero count) so every group is exactly
+    # GROUP_SIZE consecutive clusters — the kernel then maps group g to
+    # clusters [g*GROUP_SIZE, (g+1)*GROUP_SIZE) with no start/count tables.
+    BIG = 3e9
+    c = len(cmin_l)
+    c_pad = -(-c // GROUP_SIZE) * GROUP_SIZE
+    cmin = np.full((c_pad, 3), BIG, np.float32)
+    cmax = np.full((c_pad, 3), -BIG, np.float32)
+    start = np.zeros(c_pad, np.int32)
+    cnt = np.zeros(c_pad, np.int32)
+    blk = np.zeros(c_pad, np.int32)
+    inst = np.zeros(c_pad, np.int32)
+    if c:
+        cmin[:c] = np.stack(cmin_l)
+        cmax[:c] = np.stack(cmax_l)
+        start[:c] = np.asarray(start_l, np.int32)
+        cnt[:c] = np.asarray(cnt_l, np.int32)
+        blk[:c] = np.asarray(blk_l, np.int32)
+        inst[:c] = np.asarray(inst_l, np.int32)
+
+    g = c_pad // GROUP_SIZE
     group_min = cmin.reshape(g, GROUP_SIZE, 3).min(axis=1)
     group_max = cmax.reshape(g, GROUP_SIZE, 3).max(axis=1)
 
@@ -215,9 +312,22 @@ def build_clusters(
         group_max=jnp.asarray(group_max),
         start=jnp.asarray(start),
         count=jnp.asarray(cnt),
-        tris=jnp.asarray(np.ascontiguousarray(tris)),
-        tris_rk=jnp.asarray(np.ascontiguousarray(tris_rk)),
+        block_id=jnp.asarray(blk),
+        inst=jnp.asarray(inst),
+        inv_rows=jnp.asarray(np.stack(inv_l)),
+        tris=jnp.asarray(np.concatenate([mc.tris for mc in mesh_clusters])),
+        tris_rk=jnp.asarray(np.concatenate([mc.tris_rk for mc in mesh_clusters])),
     )
+
+
+def build_clusters(
+    bvh: FlatBVH, tri_p0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
+    cluster_size: int = CLUSTER_SIZE,
+) -> ClusterData:
+    """Single-instance (flattened world-space) cluster build — the
+    special case of assemble_clusters with one identity instance."""
+    mc = build_mesh_clusters(bvh, tri_p0, tri_e1, tri_e2, cluster_size)
+    return assemble_clusters([mc], [(0, np.eye(4, dtype=np.float32), 0)])
 
 
 def _slab_tn_tf(o_p, d_p, tmax_p, cmin_pad, cmax_pad, t_min):
@@ -285,6 +395,24 @@ def intersect_clusters(
     if active is None:
         active = jnp.ones(n, bool)
 
+    # Bound each ray's t_max by its exit from the scene root box: geometry
+    # is inside the root, and a line leaves a convex box exactly once, so no
+    # hit can lie beyond the exit.  This turns escaping rays' best-t from
+    # +inf into a short finite bound, which is what lets the kernel's
+    # front-to-back cap terminate packets in open scenes (otherwise one
+    # sky-bound diffuse ray forces its packet to march every candidate).
+    root_min = jnp.min(cl.group_min, axis=0)
+    root_max = jnp.max(cl.group_max, axis=0)
+    inv_all = 1.0 / jnp.where(jnp.abs(direction) > 1e-20, direction, 1e-20)
+    r0 = (root_min[None, :] - origin) * inv_all
+    r1 = (root_max[None, :] - origin) * inv_all
+    tn_root = jnp.max(jnp.minimum(r0, r1), axis=1)
+    tf_root = jnp.min(jnp.maximum(r0, r1), axis=1)
+    exit_bound = jnp.where(
+        tn_root <= tf_root, tf_root * 1.0001 + jnp.float32(t_min), jnp.float32(t_min)
+    )
+    tmax_arr = jnp.minimum(tmax_arr, jnp.maximum(exit_bound, jnp.float32(t_min)))
+
     # Group-level tables: the XLA cull and sorts work at GROUP granularity
     # (GROUP_SIZE consecutive clusters per group), so their cost scales with
     # C/GROUP_SIZE; the kernel recovers per-cluster exactness with SMEM
@@ -307,14 +435,23 @@ def intersect_clusters(
         ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
         first = jnp.argmin(ent, axis=1).astype(jnp.int32)
         v1 = jnp.min(ent, axis=1)
-        ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
-        ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
-        second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
-        v2 = jnp.min(ent2, axis=1)
         sentinel = jnp.int32(g_padded)
-        first = jnp.where(jnp.isfinite(v1), first, sentinel)
-        second = jnp.where(jnp.isfinite(v2), second, sentinel)
-        key = first * (g_padded + 1) + second
+        if _SORT_KEY == "fe":
+            # first entered group + quantized entry depth: rays that reach
+            # the same group at a similar distance likely share the rest of
+            # their candidate lists too.
+            diag = jnp.linalg.norm(root_max - root_min)
+            q = jnp.clip(v1 / jnp.maximum(diag, 1e-20) * 256.0, 0.0, 1023.0)
+            first_s = jnp.where(jnp.isfinite(v1), first, sentinel)
+            key = first_s * 1024 + jnp.where(jnp.isfinite(v1), q, 0.0).astype(jnp.int32)
+        else:
+            ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
+            ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
+            second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
+            v2 = jnp.min(ent2, axis=1)
+            first = jnp.where(jnp.isfinite(v1), first, sentinel)
+            second = jnp.where(jnp.isfinite(v2), second, sentinel)
+            key = first * (g_padded + 1) + second
         key = jnp.where(active, key, jnp.int32(1 << 30))
         lane = jax.lax.iota(jnp.int32, n)
         (_, lane_key, ox, oy, oz, dx, dy, dz, tmax_arr, active) = jax.lax.sort(
@@ -358,7 +495,7 @@ def intersect_clusters(
             nvis, order, entry_sorted, o_p, d_p, act_p,
             tmax_p,
             cl.aabbs,
-            cl.count, cl.start, cl.tris_rk,
+            cl.count, cl.start, cl.block_id, cl.inst, cl.inv_rows, cl.tris_rk,
             any_hit=any_hit, t_min=float(t_min), t_max=t_max_hi,
             interpret=interpret,
         )
@@ -428,9 +565,10 @@ def intersect_clusters(
             + jnp.arange(GROUP_SIZE, dtype=jnp.int32)[None, None, :]
         ).reshape(n_pk, vc)
         do = jnp.broadcast_to(do[:, :, None], (n_pk, V, GROUP_SIZE)).reshape(n_pk, vc)
-        blk_p0 = cl.p0[cidx]  # (P, Vc, 3, K)
-        blk_e1 = cl.e1[cidx]
-        blk_e2 = cl.e2[cidx]
+        bidx = cl.block_id[cidx]  # (P, Vc) block rows (instancing dedup)
+        blk_p0 = cl.p0[bidx]  # (P, Vc, 3, K)
+        blk_e1 = cl.e1[bidx]
+        blk_e2 = cl.e2[bidx]
         cnt = cl.count[cidx]  # (P, Vc)
         base = cl.start[cidx]
 
@@ -442,8 +580,41 @@ def intersect_clusters(
         p0x, p0y, p0z = comp(blk_p0, 0), comp(blk_p0, 1), comp(blk_p0, 2)
         e1x, e1y, e1z = comp(blk_e1, 0), comp(blk_e1, 1), comp(blk_e1, 2)
         e2x, e2y, e2z = comp(blk_e2, 0), comp(blk_e2, 1), comp(blk_e2, 2)
-        ox, oy, oz = (o_p[:, :, ax : ax + 1] for ax in range(3))
-        dx, dy, dz = (d_p[:, :, ax : ax + 1] for ax in range(3))
+        if cl.inv_rows.shape[0] > 1:
+            # Instanced: rays into each cluster's mesh-local space, expanded
+            # along the candidate dim: (P, pk, Vc*K) via (P, 1, Vc, 1) T
+            # components times (P, pk, 1, 1) world rays (XLA fuses these
+            # into the MT reduction; nothing large materializes).
+            T = cl.inv_rows[cl.inst[cidx]]  # (P, Vc, 12)
+
+            def trow(j):
+                return T[:, None, :, None, j]  # (P, 1, Vc, 1)
+
+            ow = [o_p[:, :, None, None, ax] for ax in range(3)]
+            dw = [d_p[:, :, None, None, ax] for ax in range(3)]
+
+            def xform(vecs, translate):
+                out = []
+                for r in range(3):
+                    acc = trow(4 * r) * vecs[0] + trow(4 * r + 1) * vecs[1] + trow(4 * r + 2) * vecs[2]
+                    if translate:
+                        acc = acc + trow(4 * r + 3)
+                    out.append(acc)  # (P, pk, Vc, 1)
+                return out
+
+            lo3 = xform(ow, True)
+            ld3 = xform(dw, False)
+            shape5 = (n_pk, packet, vc, k)
+
+            def expand(a):
+                return jnp.broadcast_to(a, shape5).reshape(n_pk, packet, kv)
+
+            ox, oy, oz = (expand(a) for a in lo3)
+            dx, dy, dz = (expand(a) for a in ld3)
+            p0x = p0x.reshape(n_pk, 1, kv); p0y = p0y.reshape(n_pk, 1, kv); p0z = p0z.reshape(n_pk, 1, kv)
+        else:
+            ox, oy, oz = (o_p[:, :, ax : ax + 1] for ax in range(3))
+            dx, dy, dz = (d_p[:, :, ax : ax + 1] for ax in range(3))
 
         # Scalarized Möller–Trumbore over (P, packet, V*K); triangles in lanes.
         pvx = dy * e2z - dz * e2y

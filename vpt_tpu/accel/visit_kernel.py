@@ -47,6 +47,7 @@ def _visit_kernel(
     t_min: float,
     t_max: float,
     n_sub_rows: int,
+    instanced: bool,
     nv_ref,  # (1, 1, 1) i32 SMEM — number of candidate groups for this packet
     order_ref,  # (1, 1, Gp) i32 SMEM — this packet's groups, entry-sorted
     entry_ref,  # (1, 1, Gp) f32 SMEM — sorted entry distances (inf-padded)
@@ -56,8 +57,11 @@ def _visit_kernel(
     tmax_ref,  # (1, 1, pk) f32 — per-ray max distance (shadow rays stop short)
     cab_ref,  # (1, 6C) f32 SMEM — per-cluster world AABB [c*6: min.xyz, max.xyz]
     cnt_ref,  # (1, C) i32 SMEM — per-cluster triangle counts
-    base_ref,  # (1, C) i32 SMEM — per-cluster start slot
-    tris_ref,  # (C, K/8 + 8, 128) f32 HBM — manual DMA (ClusterData.tris_rk)
+    base_ref,  # (1, C) i32 SMEM — per-cluster VIRTUAL triangle-id base
+    blk_ref,  # (1, C) i32 SMEM — per-cluster block row in tris_ref
+    inst_ref,  # (1, C) i32 SMEM — per-cluster instance id
+    inv_ref,  # (1, 12*n_inst) f32 SMEM — world->local affines (instancing)
+    tris_ref,  # (B, K/8 + 8, 128) f32 HBM — manual DMA (ClusterData.tris_rk)
     t_out,  # (1, 1, pk) f32
     tri_out,  # (1, 1, pk) i32
     u_out,  # (1, 1, pk) f32
@@ -90,9 +94,13 @@ def _visit_kernel(
             return act & (tri_out[0] < 0)
         return act
 
-    def _mt_sub(s, blk, live, cnt, base):
-        """Möller-Trumbore on sub-block s: (sub, pk), triangles x rays."""
+    def _mt_sub(s, blk, live, cnt, base, o3, d3):
+        """Möller-Trumbore on sub-block s: (sub, pk), triangles x rays.
+        `o3`/`d3` are the (1, pk) ray rows in the BLOCK's (mesh-local)
+        space; t stays world-parametric because d3 is unnormalized."""
         c0 = s * 16
+        rox, roy, roz = o3
+        rdx, rdy, rdz = d3
 
         def col(j):
             return blk[0:sub, c0 + j : c0 + j + 1]  # (sub, 1)
@@ -101,19 +109,19 @@ def _visit_kernel(
         e1x, e1y, e1z = col(3), col(4), col(5)
         e2x, e2y, e2z = col(6), col(7), col(8)
 
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
         det = e1x * pvx + e1y * pvy + e1z * pvz
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvx = ox - p0x
-        tvy = oy - p0y
-        tvz = oz - p0z
+        tvx = rox - p0x
+        tvy = roy - p0y
+        tvz = roz - p0z
         u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
         qvx = tvy * e1z - tvz * e1y
         qvy = tvz * e1x - tvx * e1z
         qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
         bt = t_out[0]  # (1, pk)
@@ -164,6 +172,27 @@ def _visit_kernel(
         blk = buf[slot]
         meta = buf[slot, sub : sub + N_SUB]  # (8, 128): row s lanes 0:6 = AABB
 
+        # Instancing: transform rays world->local for this cluster's
+        # instance (blocks and sub-AABBs are mesh-local).  The local
+        # direction stays unnormalized so t remains world-parametric and
+        # best-t merging across instances is exact.  ~40 vector issues.
+        if instanced:
+            i12 = inst_ref[0, cid] * 12
+            T = [inv_ref[0, i12 + j] for j in range(12)]
+            lox = T[0] * ox + T[1] * oy + T[2] * oz + T[3]
+            loy = T[4] * ox + T[5] * oy + T[6] * oz + T[7]
+            loz = T[8] * ox + T[9] * oy + T[10] * oz + T[11]
+            ldx = T[0] * dx + T[1] * dy + T[2] * dz
+            ldy = T[4] * dx + T[5] * dy + T[6] * dz
+            ldz = T[8] * dx + T[9] * dy + T[10] * dz
+            linv_x = 1.0 / jnp.where(jnp.abs(ldx) > 1e-20, ldx, 1e-20)
+            linv_y = 1.0 / jnp.where(jnp.abs(ldy) > 1e-20, ldy, 1e-20)
+            linv_z = 1.0 / jnp.where(jnp.abs(ldz) > 1e-20, ldz, 1e-20)
+        else:
+            lox, loy, loz = ox, oy, oz
+            ldx, ldy, ldz = dx, dy, dz
+            linv_x, linv_y, linv_z = inv_x, inv_y, inv_z
+
         # Sub-block slab tests from the DMA'd metadata rows: (1,1) slices
         # broadcast against (1, pk) ray rows — pure vector math.
         for s in range(N_SUB):
@@ -171,7 +200,7 @@ def _visit_kernel(
             tn = jnp.full((1, pk), t_min, jnp.float32)
             tf = t_out[0]
             for ax, (oc, ic) in enumerate(
-                ((ox, inv_x), (oy, inv_y), (oz, inv_z))
+                ((lox, linv_x), (loy, linv_y), (loz, linv_z))
             ):
                 lo = meta[s : s + 1, ax : ax + 1]
                 hi = meta[s : s + 1, 3 + ax : 4 + ax]
@@ -183,7 +212,8 @@ def _visit_kernel(
 
             @pl.when(jnp.any(enter))
             def _do_sub(s=s, enter=enter, cnt=cnt, base=base):
-                _mt_sub(s, blk, enter, cnt, base)
+                _mt_sub(s, blk, enter, cnt, base,
+                        (lox, loy, loz), (ldx, ldy, ldz))
 
     pend[0] = jnp.int32(-1)  # cluster id whose DMA is in flight
     pend[1] = jnp.int32(0)  # its buffer slot
@@ -203,9 +233,11 @@ def _visit_kernel(
         def _overlap():
             slot = 1 - prev_slot
             pltpu.make_async_copy(
-                tris_ref.at[prev], buf.at[prev_slot], sem.at[prev_slot]
+                tris_ref.at[blk_ref[0, prev]], buf.at[prev_slot], sem.at[prev_slot]
             ).wait()
-            pltpu.make_async_copy(tris_ref.at[cid], buf.at[slot], sem.at[slot]).start()
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, cid]], buf.at[slot], sem.at[slot]
+            ).start()
             pend[0] = cid
             pend[1] = slot
             _mt_cluster(prev, prev_slot)
@@ -213,7 +245,7 @@ def _visit_kernel(
         @pl.when(prev < 0)
         def _first():
             pltpu.make_async_copy(
-                tris_ref.at[cid], buf.at[prev_slot], sem.at[prev_slot]
+                tris_ref.at[blk_ref[0, cid]], buf.at[prev_slot], sem.at[prev_slot]
             ).start()
             pend[0] = cid
 
@@ -253,7 +285,9 @@ def _visit_kernel(
     @pl.when(last >= 0)
     def _drain():
         slot = pend[1]
-        pltpu.make_async_copy(tris_ref.at[last], buf.at[slot], sem.at[slot]).wait()
+        pltpu.make_async_copy(
+            tris_ref.at[blk_ref[0, last]], buf.at[slot], sem.at[slot]
+        ).wait()
         _mt_cluster(last, slot)
 
 
@@ -269,7 +303,10 @@ def visit_pallas(
     cluster_aabbs,  # (C, 6) f32 world AABBs (ClusterData.aabbs)
     cnt,  # (C,) i32
     base,  # (C,) i32
-    tris_rk,  # (C, K/8 + 8, 128) f32 (ClusterData.tris_rk)
+    block_id,  # (C,) i32 (ClusterData.block_id)
+    inst,  # (C,) i32 (ClusterData.inst)
+    inv_rows,  # (n_inst, 12) f32 (ClusterData.inv_rows)
+    tris_rk,  # (B, K/8 + 8, 128) f32 (ClusterData.tris_rk)
     any_hit: bool = False,
     t_min: float = 1e-4,
     t_max: float = 1e8,
@@ -278,10 +315,12 @@ def visit_pallas(
     n_pk, gp = order.shape
     pk = o_p.shape[1]
     c = cnt.shape[0]
+    n_inst = inv_rows.shape[0]
     rows = tris_rk.shape[1]
     sub = rows - N_SUB
+    instanced = n_inst > 1
 
-    kernel = functools.partial(_visit_kernel, any_hit, t_min, t_max, sub)
+    kernel = functools.partial(_visit_kernel, any_hit, t_min, t_max, sub, instanced)
     out_shape = [
         jax.ShapeDtypeStruct((n_pk, 1, pk), jnp.float32),
         jax.ShapeDtypeStruct((n_pk, 1, pk), jnp.int32),
@@ -307,6 +346,9 @@ def visit_pallas(
             pl.BlockSpec((1, 6 * c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12 * n_inst), lambda p: (0, 0), memory_space=pltpu.SMEM),
             # Cluster blocks stay in HBM and are DMA'd per visit (letting the
             # compiler pick VMEM breaks dynamic first-dim slicing in Mosaic).
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -334,6 +376,9 @@ def visit_pallas(
         cluster_aabbs.reshape(1, 6 * c),
         cnt.reshape(1, c),
         base.reshape(1, c),
+        block_id.reshape(1, c),
+        inst.reshape(1, c),
+        inv_rows.reshape(1, 12 * n_inst),
         tris_rk,
     )
     return t.reshape(n_pk, pk), tri.reshape(n_pk, pk), u.reshape(n_pk, pk), v.reshape(n_pk, pk)

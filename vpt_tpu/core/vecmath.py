@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-EPS = 1e-8
+# Guard for exactly-zero vectors only: must stay far below the squared norm
+# of any real geometric vector at SMALL scene scales (a 0.01x-scaled Cornell
+# light triangle's cross product has |v|^2 ~ 5e-9; an EPS of 1e-8 silently
+# shrank its normal and broke the NEE cosine there).
+EPS = 1e-30
 
 
 def dot(a, b, keepdims: bool = False):

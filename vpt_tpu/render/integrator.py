@@ -91,6 +91,10 @@ def path_trace_sample(
     Returns ((N, 3) summed radiance over samples, segment count)."""
     n = pixel_xy.shape[0]
     sample_offset = jnp.asarray(sample_offset, jnp.uint32)
+    # All geometric epsilons scale with the scene's world size so renders
+    # are invariant under uniform scaling (SceneMeta.scene_scale).
+    eps_scale = float(getattr(meta, "scene_scale", 1.0))
+    t_min_s = traverse.T_MIN * eps_scale
 
     # Primary rays are deterministic per (pixel, sample index), so generate
     # every sample's rays ONCE up front; regeneration inside the loop then
@@ -162,7 +166,8 @@ def path_trace_sample(
             below = atmo.atmosphere_height(params, origin) < 0.0
             alive = alive & ~below
 
-        hit = trace(scene, meta, origin, direction, alive, sort_rays=_SORT_RAYS)
+        hit = trace(scene, meta, origin, direction, alive, t_min=t_min_s,
+                    sort_rays=_SORT_RAYS)
         hit_found = hit.t >= 0.0
 
         # ------------------------------------------------------------------
@@ -328,16 +333,16 @@ def path_trace_sample(
                 (shade & ~is_light) | media_scatter
             ) & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
             sky_org = jnp.where(
-                vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * 1e-5
+                vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * (1e-5 * eps_scale)
             )
             light_org = jnp.where(
-                vol_scatter[:, None], vol_pos, surf.world_pos + to_light * 1e-2
+                vol_scatter[:, None], vol_pos, surf.world_pos + to_light * (1e-2 * eps_scale)
             )
         else:
             need_sky = shade & jnp.bool_(flags.enable_sky_mis)
             need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
-            sky_org = surf.world_pos + surf.normal * 1e-5
-            light_org = surf.world_pos + to_light * 1e-2
+            sky_org = surf.world_pos + surf.normal * (1e-5 * eps_scale)
+            light_org = surf.world_pos + to_light * (1e-2 * eps_scale)
         # Shadow rays are any-hit queries: the light ray's t_max stops just
         # short of the sampled point (the reference instead compares the hit
         # triangle id, RayGen.slang:300-301; distance-epsilon is equivalent
@@ -353,7 +358,7 @@ def path_trace_sample(
                           jnp.full(n, traverse.T_MAX, jnp.float32)))
         if light_half:
             parts.append((light_org, to_light, need_light,
-                          jnp.maximum(light_dist - 2e-2, traverse.T_MIN)))
+                          jnp.maximum(light_dist - 2e-2 * eps_scale, t_min_s)))
         if parts:
             shadow_org = jnp.concatenate([p[0] for p in parts])
             shadow_dir = jnp.concatenate([p[1] for p in parts])
@@ -361,7 +366,7 @@ def path_trace_sample(
             shadow_tmax = jnp.concatenate([p[3] for p in parts])
             shadow_hit = trace(
                 scene, meta, shadow_org, shadow_dir, shadow_active,
-                t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
+                t_min=t_min_s, t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
             )
         else:
             shadow_active = jnp.zeros(0, bool)
@@ -619,7 +624,7 @@ def path_trace_sample(
         new_origin = jnp.where(
             shade[:, None],
             surf.world_pos
-            + surf.normal * jnp.where(was_refracted, -1e-3, 1e-3)[:, None],
+            + surf.normal * jnp.where(was_refracted, -1e-3 * eps_scale, 1e-3 * eps_scale)[:, None],
             origin,
         )
         new_origin = jnp.where(

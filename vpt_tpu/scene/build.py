@@ -1,10 +1,11 @@
 """Scene compilation: host `Scene` -> device `SceneData` + static `SceneMeta`.
 
 TPU-native equivalent of the reference's SetScene GPU resource build
-(PathTracer.cpp:158-676): instance flattening into world space replaces the
-TLAS instance transforms, the flattened skip-link BVH replaces BLAS/TLAS, the
-material/emissive/env/texture SoA arrays replace the 20-binding descriptor
-set.
+(PathTracer.cpp:158-676): each unique mesh gets one local-space BVH +
+cluster-block build (the BLAS), instances contribute world AABBs and
+world->local transforms (the TLAS), and the material/emissive/env/texture
+SoA arrays replace the 20-binding descriptor set.  Shading-side triangle
+attributes live in a per-instance "virtual id" table.
 """
 
 from __future__ import annotations
@@ -13,10 +14,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from vpt_tpu.accel.bvh import LEAF_SIZE, build_bvh
-from vpt_tpu.accel.cluster import build_clusters
+from vpt_tpu.accel.cluster import assemble_clusters, build_mesh_clusters
 from vpt_tpu.scene.envmap import constant_environment, prepare_environment
 from vpt_tpu.scene.types import (
-    BVHData,
     EmissiveTable,
     EnvMapData,
     MaterialTable,
@@ -217,30 +217,74 @@ def texture_dims(textures) -> jnp.ndarray:
 def compile_scene(scene: Scene, lookup_tables=None):
     """Build device arrays.  Returns (SceneData, SceneMeta, aux) where aux
     holds host-side extras (texture dims, camera matrices)."""
-    # ---- flatten instances to world-space triangles -----------------------
+    # ---- per-mesh BLAS (mesh-local space, shared across instances) --------
+    # This replaces the reference's per-mesh BLAS + TLAS instance list
+    # (PathTracer.cpp:433-502): each unique mesh gets ONE local-space BVH +
+    # cluster-block build; instances only contribute transformed cluster
+    # AABBs and a world->local affine the intersector applies to rays.
+    from vpt_tpu.accel import cluster as _cluster_mod
+
+    unique_meshes = sorted({inst.mesh for inst in scene.instances})
+    mesh_slot = {mi: j for j, mi in enumerate(unique_meshes)}
+    mesh_cache = {}
+    for mi in unique_meshes:
+        mesh = scene.meshes[mi]
+        idx = np.asarray(mesh.indices).reshape(-1, 3)
+        lv0 = np.asarray(mesh.positions, np.float32)[idx[:, 0]]
+        lv1 = np.asarray(mesh.positions, np.float32)[idx[:, 1]]
+        lv2 = np.asarray(mesh.positions, np.float32)[idx[:, 2]]
+        bvh_m = build_bvh(lv0, lv1, lv2)
+        order_m = bvh_m.tri_order
+        t = lv0.shape[0]
+        inv_perm_m = np.empty(t, np.int32)
+        inv_perm_m[order_m] = np.arange(t, dtype=np.int32)
+        mc = build_mesh_clusters(
+            bvh_m, lv0[order_m], (lv1 - lv0)[order_m], (lv2 - lv0)[order_m],
+            cluster_size=_cluster_mod.CLUSTER_SIZE,
+        )
+        nrm = np.asarray(mesh.normals, np.float32)
+        uv = np.asarray(mesh.uvs, np.float32)
+        mesh_cache[mi] = dict(
+            order=order_m, inv_perm=inv_perm_m, mc=mc,
+            lp=(lv0[order_m], lv1[order_m], lv2[order_m]),
+            ln=(nrm[idx[:, 0]][order_m], nrm[idx[:, 1]][order_m], nrm[idx[:, 2]][order_m]),
+            luv=(uv[idx[:, 0]][order_m], uv[idx[:, 1]][order_m], uv[idx[:, 2]][order_m]),
+        )
+
+    # ---- per-instance virtual triangle arrays (world space) ---------------
+    # Virtual slot v = virt_base[instance] + mesh-local reordered slot; the
+    # intersector reports hits as virtual ids, shading gathers these rows.
     v0s, v1s, v2s = [], [], []
     n0s, n1s, n2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
     mats, locals_, insts = [], [], []
-    inst_tri_offset = []
+    virt_base = []
+    instance_specs = []
     offset = 0
     for ii, inst in enumerate(scene.instances):
-        mesh = scene.meshes[inst.mesh]
+        cache = mesh_cache[inst.mesh]
         m = np.asarray(inst.transform, np.float32)
         nrm_m = np.linalg.inv(m[:3, :3]).T
-        idx = mesh.indices.reshape(-1, 3)
-        p = mesh.positions @ m[:3, :3].T + m[:3, 3]
-        n = mesh.normals @ nrm_m.T
-        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-        uv = mesh.uvs
-        v0s.append(p[idx[:, 0]]); v1s.append(p[idx[:, 1]]); v2s.append(p[idx[:, 2]])
-        n0s.append(n[idx[:, 0]]); n1s.append(n[idx[:, 1]]); n2s.append(n[idx[:, 2]])
-        uv0s.append(uv[idx[:, 0]]); uv1s.append(uv[idx[:, 1]]); uv2s.append(uv[idx[:, 2]])
-        t = idx.shape[0]
+        p0l, p1l, p2l = cache["lp"]
+        p0w = p0l @ m[:3, :3].T + m[:3, 3]
+        p1w = p1l @ m[:3, :3].T + m[:3, 3]
+        p2w = p2l @ m[:3, :3].T + m[:3, 3]
+
+        def w_nrm(nl):
+            nw = nl @ nrm_m.T
+            return nw / np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
+
+        v0s.append(p0w); v1s.append(p1w); v2s.append(p2w)
+        n0s.append(w_nrm(cache["ln"][0]))
+        n1s.append(w_nrm(cache["ln"][1]))
+        n2s.append(w_nrm(cache["ln"][2]))
+        uv0s.append(cache["luv"][0]); uv1s.append(cache["luv"][1]); uv2s.append(cache["luv"][2])
+        t = p0l.shape[0]
         mats.append(np.full(t, inst.material, np.int32))
-        locals_.append(np.arange(t, dtype=np.int32))
+        locals_.append(cache["order"].astype(np.int32))  # original PrimitiveIndex
         insts.append(np.full(t, ii, np.int32))
-        inst_tri_offset.append(offset)
+        virt_base.append(offset)
+        instance_specs.append((mesh_slot[inst.mesh], inst.transform, offset))
         offset += t
 
     v0 = np.concatenate(v0s).astype(np.float32)
@@ -257,24 +301,18 @@ def compile_scene(scene: Scene, lookup_tables=None):
     tri_inst = np.concatenate(insts)
     n_tris = v0.shape[0]
 
-    # ---- BVH + reorder ----------------------------------------------------
-    bvh = build_bvh(v0, v1, v2)
-    order = bvh.tri_order
-    inv_perm = np.empty(n_tris, np.int32)
-    inv_perm[order] = np.arange(n_tris, dtype=np.int32)
-
     def reorder_pad(a, pad_value=0.0):
-        a = a[order]
+        # Arrays are already in virtual (per-instance reordered) order; just
+        # add the LEAF_SIZE zero pad rows that make clamped gathers safe.
         pad = np.full((LEAF_SIZE,) + a.shape[1:], pad_value, a.dtype)
         return np.concatenate([a, pad])
 
     tri_p0 = reorder_pad(v0)
     tri_e1 = reorder_pad(v1 - v0)
     tri_e2 = reorder_pad(v2 - v0)
-    from vpt_tpu.accel import cluster as _cluster_mod
 
-    clusters = build_clusters(
-        bvh, tri_p0, tri_e1, tri_e2, cluster_size=_cluster_mod.CLUSTER_SIZE
+    clusters = assemble_clusters(
+        [mesh_cache[mi]["mc"] for mi in unique_meshes], instance_specs
     )
 
     # ---- emissive table ---------------------------------------------------
@@ -299,8 +337,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
         em_mat[e] = inst.material
         em_cnt[e] = t
         em_off[e] = cursor
-        start = inst_tri_offset[ii]
-        slots.append(inv_perm[start : start + t])
+        slots.append(virt_base[ii] + mesh_cache[inst.mesh]["inv_perm"])
         cursor += t
     slot_table = np.concatenate(slots) if slots else np.zeros(1, np.int32)
 
@@ -374,13 +411,6 @@ def compile_scene(scene: Scene, lookup_tables=None):
         tri_e2=jnp.asarray(tri_e2),
         tri_attr=jnp.asarray(tri_attr),
         clusters=clusters,
-        bvh=BVHData(
-            nodes_min=jnp.asarray(bvh.aabb_min),
-            nodes_max=jnp.asarray(bvh.aabb_max),
-            node_first=jnp.asarray(bvh.first_tri),
-            node_count=jnp.asarray(bvh.tri_count),
-            node_skip=jnp.asarray(bvh.skip),
-        ),
         materials=build_material_table(scene.materials),
         emissive=emissive,
         env=env,
@@ -392,6 +422,10 @@ def compile_scene(scene: Scene, lookup_tables=None):
         lookup_refract_in=lut_refr_in,
     )
 
+    world_lo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
+    world_hi = np.maximum(np.maximum(v0.max(0), v1.max(0)), v2.max(0))
+    diag = float(np.linalg.norm(world_hi - world_lo))
+    CORNELL_DIAG = 3.4641016  # 2-unit cube: all epsilons tuned at this scale
     meta = SceneMeta(
         n_tris=n_tris,
         n_instances=len(scene.instances),
@@ -404,6 +438,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
             t.shape[0] > 1 or t.shape[1] > 1 for t in scene.textures
         ),
         name=scene.name,
+        scene_scale=diag / CORNELL_DIAG,
     )
 
     aux = {

@@ -251,13 +251,12 @@ class VolumeTable(NamedTuple):
 
 class SceneData(NamedTuple):
     # NOTE: `clusters` (vpt_tpu.accel.cluster.ClusterData) is the primary
-    # intersection structure on TPU; `bvh` is kept for validation/reference.
+    # intersection structure on TPU.
     # Triangles, world space, BVH-reordered, padded by LEAF_SIZE degenerates.
     tri_p0: jnp.ndarray  # (T', 3)
     tri_e1: jnp.ndarray  # (T', 3)  v1 - v0
     tri_e2: jnp.ndarray  # (T', 3)  v2 - v0
     tri_attr: jnp.ndarray  # (T', TRI_ATTR_COLS) packed shading attributes
-    bvh: BVHData
     clusters: "ClusterData"  # type: ignore[name-defined]  # noqa: F821
     materials: MaterialTable
     emissive: EmissiveTable
@@ -285,3 +284,10 @@ class SceneMeta:
     use_brute_force: bool  # small scene: skip BVH, test all triangles
     has_textures: bool = True  # False: only 1x1 defaults -> skip all fetches
     name: str = "scene"
+    # World AABB diagonal — every geometric epsilon (ray t_min, shadow-ray
+    # origin offsets, NEE t_max margins) scales with it so renders are
+    # invariant under uniform scene scaling (the reference instead compares
+    # sampled triangle ids, ClosestHit.slang:154-184; scale-relative
+    # distance margins are the equivalent that fits batched any-hit
+    # queries).  Normalized so 1.0 ~ the classic 2-unit Cornell box.
+    scene_scale: float = 1.0
