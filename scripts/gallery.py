@@ -87,13 +87,24 @@ def main():
         name="atmosphere",
     )
 
-    def sun(r):
-        r.set_sky_altitude(-18.0)
+    # NOTE the planet placement: the reference's DEFAULT PlanetPosition
+    # (PathTracer.h:222) puts the planet center 6360 km ABOVE the origin, so
+    # with parity defaults a positive sun altitude is below the horizon and
+    # the sky renders black (the round-1 near-black sunset).  Its users
+    # reposition the planet in the editor; we do the same here: center below,
+    # surface at y ~ 0, zenith = +y.
+    def day(r):
+        r.set_planet_position((0.0, -6360e3, 0.0))
+        r.set_sky_altitude(30.0)
 
-    render("atmosphere_sunset", atmo_scene,
-           flags=RenderFlags(max_depth=6, max_medium_events=2, enable_atmosphere=True,
-                             enable_mesh_mis=False),
-           setup=sun, spp=SPP)
+    def sunset(r):
+        r.set_planet_position((0.0, -6360e3, 0.0))
+        r.set_sky_altitude(2.0)
+
+    atmo_flags = RenderFlags(max_depth=6, max_medium_events=6,
+                             enable_atmosphere=True, enable_mesh_mis=False)
+    render("atmosphere_day", atmo_scene, flags=atmo_flags, setup=day, spp=SPP)
+    render("atmosphere_sunset", atmo_scene, flags=atmo_flags, setup=sunset, spp=SPP)
 
     # Reference glTF scene
     try:

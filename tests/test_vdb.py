@@ -1,0 +1,80 @@
+"""OpenVDB (.vdb) ingestion (reference: PathTracer.cpp:1347-1516).
+
+No .vdb assets ship with the reference snapshot or this environment, so the
+parser is validated by round-trip against the module's own spec-conformant
+writer (224-layout, zip + raw buffers, multi-node topologies) plus
+structural checks of the binary layout (magic, version, offsets)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vpt_tpu.scene.vdb import load_grid, procedural_cloud
+from vpt_tpu.scene.vdb_reader import MAGIC, VdbError, read_vdb, write_vdb
+
+
+def _roundtrip(tmp_path, values, name="density", compress=True, voxel=0.5):
+    p = str(tmp_path / "g.vdb")
+    write_vdb(p, values, grid_name=name, voxel_size=voxel, compress=compress)
+    return p, read_vdb(p)
+
+
+def test_roundtrip_small_cloud(tmp_path):
+    vals = procedural_cloud((24, 20, 28), coverage=0.5, seed=1)
+    p, g = _roundtrip(tmp_path, vals)
+    assert g.name == "density"
+    assert np.allclose(g.voxel_size, 0.5)
+    # The dense output covers the leaf-aligned bbox of NONZERO leaves —
+    # re-embed it at origin_ijk and compare against the source.
+    d, h, w = vals.shape
+    ox, oy, oz = (int(v) for v in g.origin_ijk)
+    rebuilt = np.zeros((max(d, oz + g.values.shape[0]),
+                        max(h, oy + g.values.shape[1]),
+                        max(w, ox + g.values.shape[2])), np.float32)
+    rebuilt[oz : oz + g.values.shape[0], oy : oy + g.values.shape[1],
+            ox : ox + g.values.shape[2]] = g.values
+    np.testing.assert_allclose(rebuilt[:d, :h, :w], vals, atol=1e-6)
+    assert g.values.max() == pytest.approx(vals.max(), abs=1e-6)
+
+
+def test_roundtrip_uncompressed_and_multi_l2(tmp_path):
+    # Two far-apart blobs force multiple level-2 (4096-span) root children.
+    vals = np.zeros((16, 16, 4100), np.float32)
+    vals[2:10, 3:12, 5:60] = 1.5
+    vals[4:9, 2:9, 4096:4100] = 2.5
+    p, g = _roundtrip(tmp_path, vals, compress=False)
+    assert g.values.max() == pytest.approx(2.5)
+    assert (g.values > 0).sum() == (vals > 0).sum()
+    got = g.values[: vals.shape[0], : vals.shape[1], : vals.shape[2]]
+    np.testing.assert_allclose(got, vals, atol=1e-6)
+
+
+def test_load_grid_dispatches_vdb(tmp_path):
+    vals = np.zeros((8, 8, 8), np.float32)
+    vals[2:6, 2:6, 2:6] = 3.0
+    p = str(tmp_path / "d.vdb")
+    write_vdb(p, vals)
+    out = load_grid(p)
+    np.testing.assert_allclose(out[:8, :8, :8], vals, atol=1e-6)
+
+
+def test_header_layout(tmp_path):
+    p = str(tmp_path / "h.vdb")
+    write_vdb(p, np.ones((8, 8, 8), np.float32))
+    raw = open(p, "rb").read()
+    magic, version = struct.unpack_from("<qI", raw, 0)
+    assert magic == MAGIC and version == 224
+
+
+def test_errors_are_clear(tmp_path):
+    p = str(tmp_path / "bad.vdb")
+    open(p, "wb").write(b"\x00" * 64)
+    with pytest.raises(VdbError, match="magic"):
+        read_vdb(p)
+    good = str(tmp_path / "ok.vdb")
+    write_vdb(good, np.ones((8, 8, 8), np.float32), grid_name="temperature")
+    with pytest.raises(VdbError, match="not in file"):
+        read_vdb(good, grid_name="density")
+    g = read_vdb(good, grid_name="temperature")
+    assert g.name == "temperature"

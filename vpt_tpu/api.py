@@ -81,6 +81,7 @@ class Renderer:
         samples_per_frame: int = 1,
         max_samples: int = 5000,
         lookup_tables="auto",
+        metrics_log=None,
     ):
         self._scene_host = scene
         if lookup_tables == "auto":
@@ -116,6 +117,12 @@ class Renderer:
         self._seed_counter = 0
         self.render_seconds = 0.0
         self.segments_traced = 0.0
+        from vpt_tpu.io.metrics_log import RenderLog
+
+        self.metrics = (
+            RenderLog.open(metrics_log) if isinstance(metrics_log, str)
+            else (metrics_log or RenderLog.null())
+        )
 
     # ------------------------------------------------------------------ core
 
@@ -148,10 +155,17 @@ class Renderer:
             self.samples_per_frame,
         )
         self._accum.block_until_ready()
+        dt = time.perf_counter() - t0
         self.segments_traced += float(segments)
-        self.render_seconds += time.perf_counter() - t0
+        self.render_seconds += dt
         self.frame_count += 1
         self.samples_accumulated += self.samples_per_frame
+        self.metrics.dispatch(
+            frame=self.frame_count, seed=int(seed), spp=self.samples_per_frame,
+            wall_s=dt, segments=float(segments),
+            samples_accumulated=self.samples_accumulated,
+            resolution=(self.width, self.height), scene=self.meta.name,
+        )
         return self.samples_accumulated >= self.max_samples
 
     def render(self, total_samples: Optional[int] = None, verbose: bool = False):

@@ -60,6 +60,7 @@ def cmd_render(args) -> int:
         samples_per_frame=args.spp_per_frame,
         max_samples=args.spp,
         lookup_tables=None if args.no_energy_compensation else "auto",
+        metrics_log=args.metrics_log,
     )
     if args.exposure is not None:
         r.post.exposure = args.exposure
@@ -172,6 +173,8 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint-every", type=int, default=16)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--embed-stats", action="store_true", help="spp+time in filename")
+    pr.add_argument("--metrics-log", default=None,
+                    help="append per-dispatch JSONL records to this file")
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_render)
 

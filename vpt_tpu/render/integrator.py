@@ -190,9 +190,16 @@ def path_trace_sample(
                 scatter_vol = jnp.where(closer, vi, scatter_vol)
                 scatter_t = jnp.where(closer, t_vi, scatter_t)
         if flags.enable_atmosphere:
-            # Stochastic channel pick for unsplit rays (RayGen.slang:214-224)
-            state, cp = rng.next_float(state)
-            cand = jnp.where(cp < 0.33333, 0, jnp.where(cp < 0.66666, 1, 2)).astype(jnp.int32)
+            # Channel pick for unsplit rays (RayGen.slang:214-224).  The
+            # reference draws it uniformly; we STRATIFY over (pixel, sample)
+            # — each pixel cycles through all three channels every three
+            # samples, which cuts the spectral-split chroma noise ~sqrt(3)x
+            # with the same 1/3 marginal frequency (equal in expectation).
+            cand = (
+                (pixel_index.astype(jnp.uint32)
+                 + c["sample_idx"].astype(jnp.uint32)
+                 + sample_seed) % jnp.uint32(3)
+            ).astype(jnp.int32)
             channel_eff = jnp.where(channel < 0, cand, channel)
             state, at_t, at_comp = atmo.sample_scatter_distance(
                 state, params, origin, direction, channel_eff, alive
@@ -536,12 +543,24 @@ def path_trace_sample(
             ph_ray = sampling.phase_rayleigh(direction, a_dir)
             ph_mie = sampling.phase_henyey_greenstein(direction, a_dir, 0.85)
             mie_atten = atmo.C_MIE_ABSORPTION / atmo.C_MIE  # (3,)
+            if flags.enable_sky_mis:
+                # MIS variant (RayGen.slang:425-452): HG BxDF, single-scatter
+                # albedo as (1 - absorption/extinction).
+                mie_bxdf = ph_mie[:, None] * (1.0 - mie_atten)[None, :]
+            else:
+                # Non-MIS variant (RayGen.slang:455-465): PhaseMie BxDF over
+                # the HG sampling PDF (the quirky *attenuation factor is the
+                # reference's own).
+                mie_bxdf = (
+                    sampling.phase_mie_approx(direction, a_dir)[:, None]
+                    * mie_atten[None, :]
+                )
             a_bxdf = jnp.where(
                 (atmo_comp == atmo.COMPONENT_RAYLEIGH)[:, None],
                 ph_ray[:, None] * jnp.ones((1, 3)),
                 jnp.where(
                     (atmo_comp == atmo.COMPONENT_MIE)[:, None],
-                    ph_mie[:, None] * (1.0 - mie_atten)[None, :],
+                    mie_bxdf,
                     jnp.zeros((n, 3)),
                 ),
             )

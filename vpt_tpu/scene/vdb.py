@@ -23,12 +23,16 @@ def load_grid(path: str) -> np.ndarray:
         d = np.load(path)
         key = "density" if "density" in d else list(d.keys())[0]
         return np.asarray(d[key], np.float32)
-    if path.endswith((".vdb", ".nvdb")):
+    if path.endswith(".vdb"):
+        # Native OpenVDB ingestion (pure-Python parser; reference:
+        # PathTracer.cpp:1347-1516 via NanoVDB).
+        from vpt_tpu.scene.vdb_reader import read_vdb
+
+        return read_vdb(path).values
+    if path.endswith(".nvdb"):
         raise NotImplementedError(
-            "OpenVDB/NanoVDB parsing needs the native openvdb library, which "
-            "is not available here. Pre-convert offline:  import openvdb; "
-            "grid = openvdb.read(path, 'density'); dense = "
-            "grid.copyToArray(...); np.save(out, dense)  — then pass the .npy."
+            "NanoVDB (.nvdb) is a GPU-baked format; load the source .vdb "
+            "instead (vpt_tpu reads OpenVDB directly)."
         )
     raise ValueError(f"unsupported grid format: {path}")
 
