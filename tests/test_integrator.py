@@ -28,6 +28,7 @@ def test_cornell_renders_finite_nonzero(cornell_renderer):
     assert img.max() > 1.0
 
 
+@pytest.mark.slow
 def test_cornell_color_bleeding(cornell_renderer):
     """Left wall is red, right is green: the image's left half should be
     relatively redder than the right half."""

@@ -69,12 +69,12 @@ def _assert_hits_equal(a, b, tie_tol=1e-5):
 
 
 def test_pallas_matches_xla_and_brute_random():
-    p0, e1, e2, cl, rng = _scene(700, 10)
-    org, d = _rays(rng, 256)
+    p0, e1, e2, cl, rng = _scene(500, 10)
+    org, d = _rays(rng, 128)
     pk, xla = _both(org, d, cl)
     _assert_hits_equal(pk, xla)
     brute = traverse.intersect_brute(
-        org, d, jnp.asarray(p0[:700]), jnp.asarray(e1[:700]), jnp.asarray(e2[:700])
+        org, d, jnp.asarray(p0[:500]), jnp.asarray(e1[:500]), jnp.asarray(e2[:500])
     )
     np.testing.assert_allclose(np.asarray(pk.t), np.asarray(brute.t), rtol=1e-4, atol=1e-5)
 
@@ -99,13 +99,13 @@ def test_pallas_with_ray_sorting():
 
 
 def test_pallas_any_hit_per_ray_tmax():
-    p0, e1, e2, cl, rng = _scene(1200, 13)
+    p0, e1, e2, cl, rng = _scene(800, 13)
     n = 128
     org, d = _rays(rng, n)
     # Establish true closest hits, then set each ray's t_max just below /
     # above its own hit distance: any_hit must miss / hit accordingly.
     brute = traverse.intersect_brute(
-        org, d, jnp.asarray(p0[:1200]), jnp.asarray(e1[:1200]), jnp.asarray(e2[:1200])
+        org, d, jnp.asarray(p0[:800]), jnp.asarray(e1[:800]), jnp.asarray(e2[:800])
     )
     t_true = np.asarray(brute.t)
     has = t_true >= 0
@@ -136,6 +136,7 @@ def test_pallas_all_dead_packet():
     assert np.all(np.asarray(pk.tri) == -1)
 
 
+@pytest.mark.slow
 def test_pallas_mixed_active_lanes():
     _, _, _, cl, rng = _scene(800, 15)
     org, d = _rays(rng, 256)
@@ -146,6 +147,7 @@ def test_pallas_mixed_active_lanes():
     assert np.all(np.asarray(pk.t)[~np.asarray(active)] < 0)
 
 
+@pytest.mark.slow
 def test_pallas_grazing_axis_aligned():
     # Axis-aligned quad grid + rays exactly parallel to / grazing the
     # cluster AABB faces (zero direction components -> inv-dir clamping).

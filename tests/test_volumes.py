@@ -54,6 +54,7 @@ def test_homogeneous_transmittance_analytic():
     np.testing.assert_allclose(np.asarray(tr), np.exp(-0.7 * 2.0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_heterogeneous_matches_homogeneous_for_constant_grid():
     """A constant-density grid must reproduce the homogeneous statistics."""
     grid = np.ones((16, 16, 16), np.float32)

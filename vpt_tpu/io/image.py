@@ -21,8 +21,81 @@ def save_png(path: str, image) -> None:
 
 
 def save_hdr(path: str, image) -> None:
-    """Raw float32 radiance dump (.npy)."""
-    np.save(path, np.asarray(image, np.float32))
+    """HDR export: Radiance RGBE `.hdr` (stb_image_write parity) or a raw
+    float32 `.npy` dump."""
+    if path.endswith(".hdr"):
+        save_radiance_hdr(path, image)
+    else:
+        np.save(path, np.asarray(image, np.float32))
+
+
+def save_radiance_hdr(path: str, image) -> None:
+    """Write a Radiance RGBE .hdr file (flat, non-RLE scanlines).
+
+    The shared-exponent encoding matches stb_image_write's: e = exponent of
+    max(r, g, b); mantissas quantized to 8 bits.  Readable by stb_image,
+    imageio, PIL-HDR, Blender, etc."""
+    img = np.asarray(image, np.float32)
+    if img.ndim != 3 or img.shape[2] < 3:
+        raise ValueError("save_radiance_hdr expects (H, W, >=3)")
+    h, w = img.shape[:2]
+    rgb = np.maximum(img[..., :3], 0.0)
+    mx = rgb.max(axis=-1)
+    # frexp: mx = m * 2^e with m in [0.5, 1)
+    m, e = np.frexp(mx)
+    scale = np.where(mx > 1e-32, (256.0 * m / np.maximum(mx, 1e-32)), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(mx > 1e-32, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\n")
+        f.write(b"FORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def load_radiance_hdr(path: str) -> np.ndarray:
+    """Read a Radiance .hdr (flat or RLE scanlines) to float32 (H, W, 3)."""
+    data = open(path, "rb").read()
+    # Header ends at the first blank line; next line is the resolution.
+    end = data.find(b"\n\n")
+    if end < 0:
+        raise ValueError("not a Radiance HDR file")
+    pos = end + 2
+    nl = data.find(b"\n", pos)
+    dims = data[pos:nl].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {dims!r}")
+    h, w = int(dims[1]), int(dims[3])
+    pos = nl + 1
+    raw = np.frombuffer(data, np.uint8, offset=pos)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    if len(raw) == h * w * 4:
+        rgbe = raw.reshape(h, w, 4)
+    else:
+        # Adaptive RLE scanlines (the common writer output)
+        p2 = 0
+        for y in range(h):
+            if not (raw[p2] == 2 and raw[p2 + 1] == 2):
+                raise ValueError("unsupported HDR scanline encoding")
+            p2 += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(raw[p2]); p2 += 1
+                    if n > 128:  # run
+                        rgbe[y, x : x + n - 128, c] = raw[p2]
+                        p2 += 1
+                        x += n - 128
+                    else:  # literal
+                        rgbe[y, x : x + n, c] = raw[p2 : p2 + n]
+                        p2 += n
+                        x += n
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None] * np.where(
+        e[..., None] > 0, 1.0, 0.0
+    )
 
 
 def load_png(path: str) -> np.ndarray:

@@ -24,6 +24,12 @@ def load_hdr(path: str) -> np.ndarray:
     """Load an HDR/EXR/NPY image as float32 (H, W, 3)."""
     if path.endswith((".npy",)):
         img = np.load(path)
+    elif path.endswith(".hdr"):
+        # Radiance RGBE via our own decoder (imageio's fallback plugins
+        # mis-decode the shared exponent when freeimage is absent).
+        from vpt_tpu.io.image import load_radiance_hdr
+
+        img = load_radiance_hdr(path)
     else:
         import imageio.v2 as imageio
 
