@@ -71,6 +71,12 @@ def main():
 
     render("cornell_bloom", cornell_box(light_emission=(40, 30, 12)), setup=glow, spp=SPP)
 
+    # Sponza-scale instanced scene (the bench scene)
+    from vpt_tpu.scene.procedural import colonnade
+
+    render("colonnade", colonnade(),
+           flags=RenderFlags(max_depth=8, max_medium_events=2), spp=SPP)
+
     # Path-traced atmosphere
     from vpt_tpu.core.camera import look_at
     from vpt_tpu.scene.procedural import make_quad

@@ -38,9 +38,11 @@ from vpt_tpu.accel.bvh import FlatBVH
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE
 
-# Tris per cluster: amortizes the per-visit scalar overhead (perf knob,
-# swept on the bench scene; see PERF.md).
-CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "1024"))
+# Tris per cluster.  Swept on the colonnade bench (PERF.md): 128 -> 0.45,
+# 256 -> 0.80, 512 -> 0.61, 1024 -> 0.66 M segs/s — tighter boxes cut the
+# Möller-Trumbore flops per visit faster than the per-visit orchestration
+# grows, down to 256.
+CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "256"))
 _SORT_KEY = os.environ.get("VPT_SORT_KEY", "fs")  # fs=first+second, fe=first+entry
 PACKET_SIZE = 128  # rays per packet
 GROUPS_PER_STEP = 1  # groups each packet processes per fallback loop step

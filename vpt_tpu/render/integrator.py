@@ -91,9 +91,15 @@ def path_trace_sample(
     Returns ((N, 3) summed radiance over samples, segment count)."""
     n = pixel_xy.shape[0]
     sample_offset = jnp.asarray(sample_offset, jnp.uint32)
-    # All geometric epsilons scale with the scene's world size so renders
-    # are invariant under uniform scaling (SceneMeta.scene_scale).
+    # Geometric epsilons are PER-RAY proportional: offsets scale with the
+    # local position / light distance plus a small scene-size floor, so
+    # renders are invariant under uniform scaling (SceneMeta.scene_scale)
+    # without over-shooting small features in large scenes (a fixed
+    # diag-relative epsilon would tunnel through a thin drape 30 m from the
+    # origin).  Constants normalized to reproduce the round-1 absolute
+    # values at Cornell scale.
     eps_scale = float(getattr(meta, "scene_scale", 1.0))
+    s_floor = 0.0346 * eps_scale  # = 1% of the world AABB diagonal
     t_min_s = traverse.T_MIN * eps_scale
 
     # Primary rays are deterministic per (pixel, sample index), so generate
@@ -334,22 +340,25 @@ def path_trace_sample(
             light_inst = jnp.full(n, -1, jnp.int32)
             light_dist = jnp.zeros(n, jnp.float32)
 
+        p_mag = jnp.linalg.norm(surf.world_pos, axis=-1) + s_floor  # (N,)
+        sky_eps = (5.8e-6 * p_mag)[:, None]
+        light_eps = (5e-3 * (light_dist + s_floor))[:, None]
         if any_media:
             need_sky = (shade | media_scatter | atmo_scatter) & jnp.bool_(flags.enable_sky_mis)
             need_light = (
                 (shade & ~is_light) | media_scatter
             ) & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
             sky_org = jnp.where(
-                vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * (1e-5 * eps_scale)
+                vol_scatter[:, None], vol_pos, surf.world_pos + surf.normal * sky_eps
             )
             light_org = jnp.where(
-                vol_scatter[:, None], vol_pos, surf.world_pos + to_light * (1e-2 * eps_scale)
+                vol_scatter[:, None], vol_pos, surf.world_pos + to_light * light_eps
             )
         else:
             need_sky = shade & jnp.bool_(flags.enable_sky_mis)
             need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
-            sky_org = surf.world_pos + surf.normal * (1e-5 * eps_scale)
-            light_org = surf.world_pos + to_light * (1e-2 * eps_scale)
+            sky_org = surf.world_pos + surf.normal * sky_eps
+            light_org = surf.world_pos + to_light * light_eps
         # Shadow rays are any-hit queries: the light ray's t_max stops just
         # short of the sampled point (the reference instead compares the hit
         # triangle id, RayGen.slang:300-301; distance-epsilon is equivalent
@@ -365,7 +374,7 @@ def path_trace_sample(
                           jnp.full(n, traverse.T_MAX, jnp.float32)))
         if light_half:
             parts.append((light_org, to_light, need_light,
-                          jnp.maximum(light_dist - 2e-2 * eps_scale, t_min_s)))
+                          jnp.maximum(light_dist - 2.0 * light_eps[:, 0], t_min_s)))
         if parts:
             shadow_org = jnp.concatenate([p[0] for p in parts])
             shadow_dir = jnp.concatenate([p[1] for p in parts])
@@ -640,10 +649,11 @@ def path_trace_sample(
             )
         throughput = c["throughput"] * jnp.where(alive[:, None], factor, 1.0)
 
+        bounce_eps = (5.8e-4 * p_mag)[:, None]
         new_origin = jnp.where(
             shade[:, None],
             surf.world_pos
-            + surf.normal * jnp.where(was_refracted, -1e-3 * eps_scale, 1e-3 * eps_scale)[:, None],
+            + surf.normal * jnp.where(was_refracted[:, None], -bounce_eps, bounce_eps),
             origin,
         )
         new_origin = jnp.where(
