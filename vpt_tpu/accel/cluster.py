@@ -44,7 +44,11 @@ from vpt_tpu.accel.visit_kernel import GROUP_SIZE
 # grows, down to 256.
 CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "256"))
 _SORT_KEY = os.environ.get("VPT_SORT_KEY", "fs")  # fs=first+second, fe=first+entry
-PACKET_SIZE = 128  # rays per packet
+# Rays per packet.  Swept on the colonnade bench at K=256 (PERF.md):
+# 128 -> 0.80, 256 -> 0.95, 512 -> 1.06, 1024 -> 0.44 M segs/s — wider
+# packets amortize the per-visit orchestration until the candidate union
+# (and VMEM row pressure) wins at 1024.
+PACKET_SIZE = int(os.environ.get("VPT_PACKET_SIZE", "512"))
 GROUPS_PER_STEP = 1  # groups each packet processes per fallback loop step
 
 
