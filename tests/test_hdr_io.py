@@ -24,6 +24,39 @@ def test_rgbe_roundtrip(tmp_path):
     assert np.all(back[0, 0] == 0.0)
 
 
+def test_flat_file_with_trailing_bytes(tmp_path):
+    # Some writers pad after the pixel data; a flat file must still load
+    # (ADVICE r2: an exact whole-file length match rejected valid files).
+    img = np.ones((4, 12, 3), np.float32) * 3.0
+    p = str(tmp_path / "pad.hdr")
+    save_radiance_hdr(p, img)
+    with open(p, "ab") as f:
+        f.write(b"\x00\x00\x00junk")
+    back = load_radiance_hdr(p)
+    np.testing.assert_allclose(back, img, rtol=0.01)
+
+
+def test_old_style_rle_scanlines(tmp_path):
+    # Old-style RLE ((1,1,1,count) repeat markers) is legal for width < 8 or
+    # > 32767; hand-assemble a 2x4 file using it.
+    rows = [
+        # row 0: pixel A then repeat x3
+        bytes([128, 64, 32, 130]) + bytes([1, 1, 1, 3]),
+        # row 1: four literal pixels
+        bytes([10, 20, 30, 129]) * 4,
+    ]
+    p = str(tmp_path / "old.hdr")
+    with open(p, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 2 +X 4\n")
+        f.write(b"".join(rows))
+    back = load_radiance_hdr(p)
+    assert back.shape == (2, 4, 3)
+    # all 4 pixels of row 0 equal
+    assert np.all(back[0] == back[0, 0])
+    assert np.all(back[1] == back[1, 0])
+    assert back[0, 0, 0] > back[1, 0, 0]  # exponent 130 vs 129
+
+
 def test_save_hdr_dispatches_on_extension(tmp_path):
     img = np.ones((4, 4, 3), np.float32) * 2.5
     p_hdr = str(tmp_path / "a.hdr")

@@ -38,6 +38,25 @@ def test_roundtrip_small_cloud(tmp_path):
     assert g.values.max() == pytest.approx(vals.max(), abs=1e-6)
 
 
+def test_active_value_tiles_densify(tmp_path):
+    # Constant 8^3 regions written as level-1 active value TILES (the form
+    # OpenVDB emits for uniform fog interiors) must load at their value,
+    # not at background (ADVICE r2: tiles were silently dropped).
+    vals = np.zeros((24, 24, 24), np.float32)
+    vals[0:8, 0:8, 0:8] = 0.7  # uniform block -> becomes a tile
+    vals[8:16, 8:16, 8:16] = np.random.default_rng(0).uniform(
+        0.1, 1.0, (8, 8, 8)).astype(np.float32)  # non-uniform -> stays a leaf
+    vals[16:24, 0:8, 0:8] = 0.3  # second tile
+    p = str(tmp_path / "tiles.vdb")
+    write_vdb(p, vals, tile_uniform_leaves=True)
+    g = read_vdb(p)
+    ox, oy, oz = (int(v) for v in g.origin_ijk)
+    rebuilt = np.zeros_like(vals)
+    rebuilt[oz : oz + g.values.shape[0], oy : oy + g.values.shape[1],
+            ox : ox + g.values.shape[2]] = g.values
+    np.testing.assert_allclose(rebuilt, vals, atol=1e-6)
+
+
 def test_roundtrip_uncompressed_and_multi_l2(tmp_path):
     # Two far-apart blobs force multiple level-2 (4096-span) root children.
     vals = np.zeros((16, 16, 4100), np.float32)

@@ -70,27 +70,68 @@ def load_radiance_hdr(path: str) -> np.ndarray:
     pos = nl + 1
     raw = np.frombuffer(data, np.uint8, offset=pos)
     rgbe = np.zeros((h, w, 4), np.uint8)
-    if len(raw) == h * w * 4:
-        rgbe = raw.reshape(h, w, 4)
+
+    def _is_adaptive(p2):
+        # Adaptive-RLE scanline header: 0x02 0x02 then big-endian width;
+        # only legal for widths 8..32767 (Radiance spec).
+        return (
+            8 <= w <= 32767
+            and p2 + 4 <= len(raw)
+            and raw[p2] == 2 and raw[p2 + 1] == 2
+            and ((int(raw[p2 + 2]) << 8) | int(raw[p2 + 3])) == w
+        )
+
+    # Fast path: pure flat file (no adaptive headers, no old-style run
+    # markers) — trailing bytes after h*w*4 are tolerated (ADVICE r2: exact
+    # whole-file length match rejected valid files).
+    if len(raw) >= h * w * 4 and not _is_adaptive(0):
+        flat = raw[: h * w * 4].reshape(-1, 4)
+        old_marks = (flat[:, 0] == 1) & (flat[:, 1] == 1) & (flat[:, 2] == 1)
+        if not old_marks.any():
+            rgbe = flat.reshape(h, w, 4)
+            flat = None
+        else:
+            flat = True
     else:
-        # Adaptive RLE scanlines (the common writer output)
+        flat = True
+    if flat is not None:
+        # Per-scanline decode: each line is adaptive RLE, old-style RLE
+        # (repeat markers (1,1,1,count), legal for any width), or flat.
         p2 = 0
         for y in range(h):
-            if not (raw[p2] == 2 and raw[p2 + 1] == 2):
-                raise ValueError("unsupported HDR scanline encoding")
-            p2 += 4
-            for c in range(4):
+            if _is_adaptive(p2):
+                p2 += 4
+                for c in range(4):
+                    x = 0
+                    while x < w:
+                        n = int(raw[p2]); p2 += 1
+                        if n > 128:  # run
+                            rgbe[y, x : x + n - 128, c] = raw[p2]
+                            p2 += 1
+                            x += n - 128
+                        else:  # literal
+                            rgbe[y, x : x + n, c] = raw[p2 : p2 + n]
+                            p2 += n
+                            x += n
+            else:
                 x = 0
+                shift = 0
                 while x < w:
-                    n = int(raw[p2]); p2 += 1
-                    if n > 128:  # run
-                        rgbe[y, x : x + n - 128, c] = raw[p2]
-                        p2 += 1
-                        x += n - 128
-                    else:  # literal
-                        rgbe[y, x : x + n, c] = raw[p2 : p2 + n]
-                        p2 += n
-                        x += n
+                    if p2 + 4 > len(raw):
+                        raise ValueError("truncated HDR scanline")
+                    px = raw[p2 : p2 + 4]; p2 += 4
+                    if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                        if x == 0 and y == 0:
+                            raise ValueError("HDR old-style run with no prior pixel")
+                        count = int(px[3]) << shift
+                        prev = rgbe[y, x - 1] if x > 0 else rgbe[y - 1, w - 1]
+                        rgbe[y, x : x + count] = prev
+                        x += count
+                        shift += 8
+                    else:
+                        rgbe[y, x] = px
+                        x += 1
+                        shift = 0
     e = rgbe[..., 3].astype(np.int32)
     scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
     return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None] * np.where(

@@ -178,41 +178,45 @@ def _read_values(r: _Reader, n_stored: int, compression: int) -> np.ndarray:
 
 
 def _read_compressed_values(r: _Reader, n_total: int, value_mask: np.ndarray,
-                            compression: int, file_version: int) -> np.ndarray:
+                            compression: int, file_version: int,
+                            background: float = 0.0) -> np.ndarray:
     """openvdb::io::readCompressedValues: node value arrays with the optional
-    selection mask + inactive-value metadata (file version >= 222)."""
+    selection mask + inactive-value metadata (file version >= 222).
+
+    Semantics follow openvdb/io/Compression.h: values are mask-compressed
+    (only active values stored) exactly when the metadata code is one of the
+    MASK_AND_* codes; the selection mask then marks inactive voxels holding
+    the SECOND inactive value (inactive2), all other inactive voxels hold
+    the first (inactive1).  NO_MASK_* codes store every value verbatim."""
     out = np.zeros(n_total, np.float32)
     meta_code = NO_MASK_AND_ALL_VALS
     if file_version >= 222:
         meta_code = struct.unpack("<b", r.bytes(1))[0]
-    inactive1 = inactive2 = 0.0
+    inactive1 = background
+    if meta_code == NO_MASK_AND_MINUS_BG:
+        inactive1 = -background
     if meta_code in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL,
                      MASK_AND_TWO_INACTIVE_VALS):
         inactive1 = r.f32()
+    inactive2 = inactive1
     if meta_code == MASK_AND_TWO_INACTIVE_VALS:
         inactive2 = r.f32()
 
+    mask_compressed = meta_code in (MASK_AND_NO_INACTIVE_VALS,
+                                    MASK_AND_ONE_INACTIVE_VAL,
+                                    MASK_AND_TWO_INACTIVE_VALS)
     selection = np.zeros(n_total, bool)
-    if meta_code in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
-                     MASK_AND_TWO_INACTIVE_VALS):
+    if mask_compressed:
         selection = _read_mask(r, n_total)
 
-    if meta_code == NO_MASK_AND_ALL_VALS or file_version < 222:
-        n_stored = n_total
-    else:
-        # Only values not covered by the masks are stored: active values
-        # minus selection-masked ones.
-        n_stored = int((value_mask & ~selection).sum())
-
+    n_stored = int(value_mask.sum()) if mask_compressed else n_total
     vals = _read_values(r, n_stored, compression)
-    if meta_code == NO_MASK_AND_ALL_VALS or file_version < 222:
-        out[:] = vals[:n_total]
-    else:
-        out[value_mask & ~selection] = vals
-        out[selection & (selection != 0)] = inactive1  # selection-masked slots
-        if meta_code == MASK_AND_TWO_INACTIVE_VALS:
-            out[selection] = inactive2  # second value unsupported distinction
+    if mask_compressed:
+        out[value_mask] = vals
+        out[~value_mask & selection] = inactive2
         out[~value_mask & ~selection] = inactive1
+    else:
+        out[:] = vals[:n_total]
     return out
 
 
@@ -227,18 +231,26 @@ class VdbGrid:
 
 
 def _read_tree(r: _Reader, compression: int, file_version: int):
-    """FloatTree 5-4-3: returns {leaf origin (x,y,z): (512,) values} + bg."""
+    """FloatTree 5-4-3: returns ({leaf origin (x,y,z): (512,) values},
+    [(origin, span, value)] active tiles, background).
+
+    Active value tiles — constant-value regions without leaves, common in
+    fog/cloud exports — are collected at every level: root tiles span a
+    whole level-2 node (4096 voxels/side), level-2 tiles span one level-1
+    child (128/side), level-1 tiles span one leaf (8/side).  The caller
+    splats them into the dense array (ADVICE r2: they were silently
+    dropped, loading those regions at background density)."""
     r.u32()  # buffer count (always 1)
     background = r.f32()
     n_tiles = r.u32()
     n_children = r.u32()
-    tiles = []
+    tiles = []  # (origin_xyz, span, value) — active tiles at any level
     for _ in range(n_tiles):
         xyz = r.coord()
         val = r.f32()
         active = r.byte() != 0
         if active:
-            tiles.append((xyz, val))
+            tiles.append((xyz, L2_SPAN, val))
     leaves = {}
     leaf_descs = []  # (origin, value_mask) in read order
 
@@ -247,14 +259,28 @@ def _read_tree(r: _Reader, compression: int, file_version: int):
         # ---- level-2 internal node (32^3) topology
         child2 = _read_mask(r, L2_N)
         value2 = _read_mask(r, L2_N)
-        _read_compressed_values(r, L2_N, value2, compression, file_version)
+        vals2 = _read_compressed_values(r, L2_N, value2, compression,
+                                        file_version, background)
+        for i2 in np.nonzero(value2 & ~child2)[0]:
+            o2 = _offset_to_coord(int(i2), L2_LOG2, L1_LOG2 + L0_LOG2)
+            tiles.append((
+                (origin2[0] + o2[0], origin2[1] + o2[1], origin2[2] + o2[2]),
+                L1_SPAN, float(vals2[i2]),
+            ))
         for i2 in np.nonzero(child2)[0]:
             o2 = _offset_to_coord(int(i2), L2_LOG2, L1_LOG2 + L0_LOG2)
             base2 = (origin2[0] + o2[0], origin2[1] + o2[1], origin2[2] + o2[2])
             # ---- level-1 internal node (16^3)
             child1 = _read_mask(r, L1_N)
             value1 = _read_mask(r, L1_N)
-            _read_compressed_values(r, L1_N, value1, compression, file_version)
+            vals1 = _read_compressed_values(r, L1_N, value1, compression,
+                                            file_version, background)
+            for i1 in np.nonzero(value1 & ~child1)[0]:
+                o1 = _offset_to_coord(int(i1), L1_LOG2, L0_LOG2)
+                tiles.append((
+                    (base2[0] + o1[0], base2[1] + o1[1], base2[2] + o1[2]),
+                    L0_DIM, float(vals1[i1]),
+                ))
             for i1 in np.nonzero(child1)[0]:
                 o1 = _offset_to_coord(int(i1), L1_LOG2, L0_LOG2)
                 base1 = (base2[0] + o1[0], base2[1] + o1[1], base2[2] + o1[2])
@@ -264,7 +290,8 @@ def _read_tree(r: _Reader, compression: int, file_version: int):
 
     # ---- leaf buffers (Tree::readBuffers order = topology order)
     for base, lmask in leaf_descs:
-        vals = _read_compressed_values(r, L0_N, lmask, compression, file_version)
+        vals = _read_compressed_values(r, L0_N, lmask, compression,
+                                       file_version, background)
         leaves[base] = vals
     return leaves, tiles, background
 
@@ -336,13 +363,29 @@ def read_vdb(path: str, grid_name: str | None = None) -> VdbGrid:
     _, voxel_size, translate = _read_transform(r)
     leaves, tiles, background = _read_tree(r, grid_compression, file_version)
 
-    if not leaves:
-        raise VdbError("grid has no leaf voxels (tile-only grids unsupported)")
-    origins = np.array(sorted(leaves.keys()))
-    lo = origins.min(axis=0)
-    hi = origins.max(axis=0) + L0_DIM
+    # Tiles with the background value are no-ops (the dense array is
+    # background-filled); root-level tiles span 4096 voxels/side and would
+    # explode the dense bounding box, so they are rejected rather than
+    # silently mis-loaded.
+    tiles = [t for t in tiles if t[2] != background]
+    for (origin, span, _val) in tiles:
+        if span >= L2_SPAN:
+            raise VdbError(
+                f"active root-level value tile at {origin} (span {span}) — "
+                "too large to densify; re-export the grid with leaves"
+            )
+    if not leaves and not tiles:
+        raise VdbError("grid has no active voxels (no leaves or value tiles)")
+    extents = [(np.array(k), np.array(k) + L0_DIM) for k in leaves.keys()]
+    extents += [(np.array(o), np.array(o) + s) for (o, s, _v) in tiles]
+    lo = np.min(np.stack([e[0] for e in extents]), axis=0)
+    hi = np.max(np.stack([e[1] for e in extents]), axis=0)
     shape_xyz = hi - lo
     dense = np.full(tuple(shape_xyz[::-1]), background, np.float32)  # (z, y, x)
+    # Splat tiles first so leaf voxels (finer data) win any overlap.
+    for ((ox, oy, oz), span, val) in tiles:
+        x0, y0, z0 = ox - lo[0], oy - lo[1], oz - lo[2]
+        dense[z0 : z0 + span, y0 : y0 + span, x0 : x0 + span] = val
     for (ox, oy, oz), vals in leaves.items():
         block = vals.reshape(L0_DIM, L0_DIM, L0_DIM)  # (x, y, z) index order
         zyx = np.transpose(block, (2, 1, 0))
@@ -364,8 +407,14 @@ def read_vdb(path: str, grid_name: str | None = None) -> VdbGrid:
 
 
 def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
-              voxel_size: float = 1.0, compress: bool = True) -> None:
-    """Write a dense (D, H, W) float array as a single-FloatGrid .vdb."""
+              voxel_size: float = 1.0, compress: bool = True,
+              tile_uniform_leaves: bool = False) -> None:
+    """Write a dense (D, H, W) float array as a single-FloatGrid .vdb.
+
+    With `tile_uniform_leaves`, 8^3 blocks whose voxels are all equal and
+    non-zero are written as level-1 active value TILES instead of leaves —
+    the compact form OpenVDB itself produces for constant fog regions
+    (used to test the reader's tile densification)."""
     values = np.asarray(values, np.float32)
     d, h, w = values.shape
     out = bytearray()
@@ -467,19 +516,28 @@ def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
         for (cx, cy, cz) in l1_present:
             l1_origin = l2 + np.array([cx, cy, cz]) * L1_SPAN
             child1 = np.zeros(L1_N, bool)
+            value1 = np.zeros(L1_N, bool)
+            vals1 = np.zeros(L1_N, np.float32)
             leaves_here = sorted({
                 tuple((np.array(k) - l1_origin) // L0_DIM)
                 for k in leaf_keys
                 if np.all((np.array(k) >= l1_origin) & (np.array(k) < l1_origin + L1_SPAN))
             })
+            kept = []
             for (lx, ly, lz) in leaves_here:
-                child1[(lx << (2 * L1_LOG2)) + (ly << L1_LOG2) + lz] = True
-            write_mask(child1)
-            write_mask(np.zeros(L1_N, bool))
-            write_vals(np.zeros(L1_N, np.float32))
-            for (lx, ly, lz) in leaves_here:
+                slot = (lx << (2 * L1_LOG2)) + (ly << L1_LOG2) + lz
                 key = tuple(l1_origin + np.array([lx, ly, lz]) * L0_DIM)
                 vals = leaf_values(key)
+                if tile_uniform_leaves and vals[0] != 0.0 and np.all(vals == vals[0]):
+                    value1[slot] = True  # active value tile
+                    vals1[slot] = vals[0]
+                else:
+                    child1[slot] = True
+                    kept.append((key, vals))
+            write_mask(child1)
+            write_mask(value1)
+            write_vals(vals1)
+            for key, vals in kept:
                 write_mask(vals != 0.0)
                 ordered_leaves.append(vals)
 
