@@ -29,6 +29,43 @@ def test_cornell_renders_finite_nonzero(cornell_renderer):
 
 
 @pytest.mark.slow
+def test_emissive_nee_exact_visibility_grazing_occluder():
+    # An occluder 0.01 below the light sits INSIDE the old distance-epsilon
+    # margin (t_max stopped ~1% short of the sample => the occluder was
+    # never tested => light leak).  Exact triangle-id visibility
+    # (ClosestHit.slang:169-176 semantics) must shadow the floor.
+    from vpt_tpu.scene.procedural import make_quad
+    from vpt_tpu.scene.types import Instance
+
+    def build(with_occluder):
+        scene = cornell_box(with_boxes=False)
+        if with_occluder:
+            s = 0.8
+            y = 0.989  # 0.01 below the light plane at 0.999
+            occ = make_quad((-s, y, s), (s, y, s), (s, y, -s), (-s, y, -s))
+            scene.meshes.append(occ)
+            scene.instances.append(Instance(
+                mesh=len(scene.meshes) - 1, material=0,
+                transform=np.eye(4, dtype=np.float32), name="occluder",
+            ))
+        r = Renderer(scene, width=48, height=48,
+                     flags=RenderFlags(max_depth=4, max_medium_events=2),
+                     samples_per_frame=8, max_samples=8, lookup_tables=None)
+        return np.asarray(r.render(total_samples=8))
+
+    lit = build(False)
+    dark = build(True)
+    # Lower half of the image (the floor region) must go nearly black —
+    # with the epsilon hack it stayed at full NEE brightness.
+    floor_lit = lit[30:, 8:-8].mean()
+    floor_dark = dark[30:, 8:-8].mean()
+    assert floor_lit > 0.05
+    assert floor_dark < 0.15 * floor_lit, (
+        f"light leaked through a grazing occluder: {floor_dark} vs {floor_lit}"
+    )
+
+
+@pytest.mark.slow
 def test_cornell_color_bleeding(cornell_renderer):
     """Left wall is red, right is green: the image's left half should be
     relatively redder than the right half."""

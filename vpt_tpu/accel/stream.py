@@ -1,0 +1,560 @@
+"""Cluster-major streaming intersection — round-3 "RT core" redesign.
+
+The packet-major visit kernel (vpt_tpu.accel.visit_kernel) wastes 10-17x
+SIMD occupancy on incoherent bounces: a sorted 512-ray packet must march
+the UNION of its rays' entered clusters (~40-76) while each ray only
+enters ~4.5.  This module inverts the dispatch: the grid streams over ray
+BANDS resident in VMEM, and within a band each candidate cluster's
+triangle block is DMA'd ONCE and tested only against the 128-ray rows
+that actually enter it:
+
+  XLA side (per trace):
+    1. sort rays by (first, second) entered group — rays needing the same
+       cluster become row-adjacent,
+    2. one fused slab pass over (ray, group) reduced to per-supertile
+       tables: a uint32 "which 1024-ray supertiles enter group g" mask per
+       band, plus per-band entry-sorted candidate group lists,
+  kernel (grid = bands):
+    for each candidate group (front-to-back, until entry > band cap):
+      for each member cluster: pipelined DMA; for each supertile whose
+      mask bit is set: (8,128) slab refinement -> per-row sub-AABB tests
+      -> (K/8, 128) Moller-Trumbore only on rows with live entering rays.
+
+  Work scales with (ray, cluster) INCIDENCES instead of packet unions, and
+  each triangle block moves HBM->VMEM once per band instead of once per
+  visiting packet (~20x fewer DMAs on colonnade).
+
+Mixed per-ray semantics: an `anyhit` flag bit makes a ray stop improving
+its hit after the first found intersection (shadow queries), so main +
+sky-NEE + light-NEE rays share ONE sort/cull/launch per bounce.  Closest-
+hit ordering matches the reference TraceRay (RTCommon.slang:47-117);
+any-hit matches DoesRayIntersectWithAS.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vpt_tpu.accel.cluster import ClusterData, _slab_tn_tf, PACKET_SIZE
+from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
+from vpt_tpu.accel.visit_kernel import GROUP_SIZE, N_SUB
+
+SUPER_ROWS = 8          # rows per supertile -> (8, 128) = 1024 rays
+TILES_PER_BAND = 32     # supertiles per band (= bits of the uint32 mask)
+BAND = TILES_PER_BAND * SUPER_ROWS * 128  # 32768 rays
+
+_FLAG_ACT = 1
+_FLAG_ANYHIT = 2
+
+
+def _ctz32(w):
+    """Count trailing zeros of a nonzero uint32 scalar: branch-free binary
+    search (Mosaic supports neither scalar bitcasts nor uint->float casts,
+    so the classic float-exponent trick is unavailable)."""
+    j = jnp.int32(0)
+    for shift, mask in ((16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1)):
+        z = (w & jnp.uint32(mask)) == jnp.uint32(0)
+        j = j + jnp.where(z, jnp.int32(shift), jnp.int32(0))
+        w = jnp.where(z, w >> shift, w)
+    return j
+
+
+def _stream_kernel(
+    t_min: float,
+    sub: int,          # triangles per sub-block (= K / N_SUB)
+    instanced: bool,
+    # per-band SMEM tables (3D (1,1,W) blocks: TPU lowering requires the
+    # last two block dims to equal the array dims for SMEM)
+    ngrp_ref,          # (1,1,1) i32 — candidate group count for this band
+    order_ref,         # (1,1,Gp) i32 — entry-sorted candidate group ids
+    entry_ref,         # (1,1,Gp) f32 — sorted entry distances (inf padded)
+    bits_ref,          # (1,1,G) u32 — supertile mask, indexed by GROUP ID
+    # per-band VMEM ray blocks (T, 8, 128)
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tmax_ref,
+    flags_ref,         # i32: bit0 = active, bit1 = any-hit semantics
+    # global SMEM cluster tables
+    cab_ref,           # (1, 6C) f32 world AABBs
+    cnt_ref,           # (1, C) i32
+    base_ref,          # (1, C) i32 virtual tri base
+    blk_ref,           # (1, C) i32 block row
+    inst_ref,          # (1, C) i32 instance id
+    inv_ref,           # (1, 12*n_inst) f32 world->local affines
+    tris_ref,          # HBM (B, K/8 + 8, 128) — manual DMA
+    # outputs (T, 8, 128)
+    t_out, tri_out, u_out, v_out,
+    # scratch
+    buf,               # (2, K/8 + 8, 128) VMEM
+    sem,               # (2,) DMA semaphores
+    pend,              # (4,) i32 SMEM: [pending cid, slot, word_lo_bits, unused]
+    pword,             # (1,) u32 SMEM: pending cluster's supertile word
+    cap_ref,           # (1,) f32 SMEM: current band cap (max live best-t)
+):
+    t_out[...] = tmax_ref[...]
+    tri_out[...] = jnp.full(tri_out.shape, -1, jnp.int32)
+    u_out[...] = jnp.zeros(u_out.shape, jnp.float32)
+    v_out[...] = jnp.zeros(v_out.shape, jnp.float32)
+
+    ng = ngrp_ref[0, 0, 0]
+    idx0 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+
+    def band_cap():
+        """Max best-t over live rays — the front-to-back early-exit bound.
+        Any-hit rays that found a hit stop holding the cap up."""
+        fl = flags_ref[...]
+        live = ((fl & _FLAG_ACT) > 0) & (
+            ((fl & _FLAG_ANYHIT) == 0) | (tri_out[...] < 0)
+        )
+        return jnp.max(jnp.where(live, t_out[...], t_min))
+
+    cap_ref[0] = band_cap()
+
+    def _process_supertile(cid, slot, j):
+        """Slab-refine supertile j against cluster `cid` (block in
+        buf[slot]); run per-row sub-AABB + MT on entering rows."""
+        o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
+        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
+        fl = flags_ref[j]
+        bt8 = t_out[j]
+        tri8 = tri_out[j]
+        live = ((fl & _FLAG_ACT) > 0) & (
+            ((fl & _FLAG_ANYHIT) == 0) | (tri8 < 0)
+        )
+
+        inv8 = tuple(1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20) for d in d8)
+        # World-AABB slab test, tf bounded by each ray's current best
+        tn = jnp.full((8, 128), t_min, jnp.float32)
+        tf = jnp.where(live, bt8, t_min)
+        o6 = 6 * cid
+        for ax in range(3):
+            s0 = (cab_ref[0, o6 + ax] - o8[ax]) * inv8[ax]
+            s1 = (cab_ref[0, o6 + 3 + ax] - o8[ax]) * inv8[ax]
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+        enter = (tn <= tf) & live
+
+        @pl.when(jnp.any(enter))
+        def _go():
+            cnt = cnt_ref[0, cid]
+            base = base_ref[0, cid]
+            blk = buf[slot]
+            meta = buf[slot, sub : sub + N_SUB]  # (8,128): row s lanes 0:6 AABB
+
+            # Instancing: mesh-local rays; direction left unnormalized so t
+            # stays world-parametric (best-t merging across instances exact).
+            if instanced:
+                i12 = inst_ref[0, cid] * 12
+                T = [inv_ref[0, i12 + k] for k in range(12)]
+                lox = T[0] * o8[0] + T[1] * o8[1] + T[2] * o8[2] + T[3]
+                loy = T[4] * o8[0] + T[5] * o8[1] + T[6] * o8[2] + T[7]
+                loz = T[8] * o8[0] + T[9] * o8[1] + T[10] * o8[2] + T[11]
+                ldx = T[0] * d8[0] + T[1] * d8[1] + T[2] * d8[2]
+                ldy = T[4] * d8[0] + T[5] * d8[1] + T[6] * d8[2]
+                ldz = T[8] * d8[0] + T[9] * d8[1] + T[10] * d8[2]
+            else:
+                lox, loy, loz = o8
+                ldx, ldy, ldz = d8
+            linv_x = 1.0 / jnp.where(jnp.abs(ldx) > 1e-20, ldx, 1e-20)
+            linv_y = 1.0 / jnp.where(jnp.abs(ldy) > 1e-20, ldy, 1e-20)
+            linv_z = 1.0 / jnp.where(jnp.abs(ldz) > 1e-20, ldz, 1e-20)
+
+            for r in range(SUPER_ROWS):
+                er = enter[r : r + 1, :]  # (1, 128)
+
+                @pl.when(jnp.any(er))
+                def _row(r=r, er=er):
+                    ro = (lox[r : r + 1], loy[r : r + 1], loz[r : r + 1])
+                    rd = (ldx[r : r + 1], ldy[r : r + 1], ldz[r : r + 1])
+                    ri = (linv_x[r : r + 1], linv_y[r : r + 1], linv_z[r : r + 1])
+                    bt = bt8[r : r + 1, :]
+                    # Row-best candidates over the 8 sub-blocks
+                    best_t = bt
+                    best_tri = tri8[r : r + 1, :]
+                    best_u = u_out[j, r : r + 1, :]
+                    best_v = v_out[j, r : r + 1, :]
+                    for s in range(N_SUB):
+                        # Sub-AABB slab from the DMA'd metadata rows
+                        stn = jnp.full((1, 128), t_min, jnp.float32)
+                        stf = jnp.where(er, best_t, t_min)
+                        for ax in range(3):
+                            lo = meta[s : s + 1, ax : ax + 1]
+                            hi = meta[s : s + 1, 3 + ax : 4 + ax]
+                            s0 = (lo - ro[ax]) * ri[ax]
+                            s1 = (hi - ro[ax]) * ri[ax]
+                            stn = jnp.maximum(stn, jnp.minimum(s0, s1))
+                            stf = jnp.minimum(stf, jnp.maximum(s0, s1))
+                        sub_enter = (stn <= stf) & er
+                        c0 = s * 16
+
+                        def col(kk):
+                            return blk[0:sub, c0 + kk : c0 + kk + 1]  # (sub, 1)
+
+                        # Moller-Trumbore (sub, 128): triangles in sublanes,
+                        # rays in lanes — masked to the entering rows only.
+                        p0x, p0y, p0z = col(0), col(1), col(2)
+                        e1x, e1y, e1z = col(3), col(4), col(5)
+                        e2x, e2y, e2z = col(6), col(7), col(8)
+                        pvx = rd[1] * e2z - rd[2] * e2y
+                        pvy = rd[2] * e2x - rd[0] * e2z
+                        pvz = rd[0] * e2y - rd[1] * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                        tvx = ro[0] - p0x
+                        tvy = ro[1] - p0y
+                        tvz = ro[2] - p0z
+                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (rd[0] * qvx + rd[1] * qvy + rd[2] * qvz) * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        tri_idx = idx0[:sub] + s * sub
+                        valid = (
+                            (jnp.abs(det) > 1e-12)
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > t_min)
+                            & (tt < best_t)
+                            & (tri_idx < cnt)
+                            & sub_enter
+                        )
+                        t_masked = jnp.where(valid, tt, jnp.inf)
+                        t_best = jnp.min(t_masked, axis=0, keepdims=True)
+                        # smallest-index tie-break down sublanes
+                        jj = jnp.min(
+                            jnp.where(t_masked == t_best, idx0[:sub], sub),
+                            axis=0, keepdims=True,
+                        )
+                        pick = idx0[:sub] == jj
+                        u_best = jnp.sum(jnp.where(pick, uu, 0.0), axis=0, keepdims=True)
+                        v_best = jnp.sum(jnp.where(pick, vv, 0.0), axis=0, keepdims=True)
+                        better = t_best < best_t
+                        best_t = jnp.where(better, t_best, best_t)
+                        best_tri = jnp.where(better, base + s * sub + jj, best_tri)
+                        best_u = jnp.where(better, u_best, best_u)
+                        best_v = jnp.where(better, v_best, best_v)
+
+                    t_out[j, r : r + 1, :] = best_t
+                    tri_out[j, r : r + 1, :] = best_tri
+                    u_out[j, r : r + 1, :] = best_u
+                    v_out[j, r : r + 1, :] = best_v
+
+    def _process_cluster(cid, slot, word):
+        """Visit every supertile whose mask bit is set (ctz loop)."""
+        def cond(w):
+            return w != jnp.uint32(0)
+
+        def body(w):
+            j = _ctz32(w)
+            _process_supertile(cid, slot, j)
+            return w & (w - jnp.uint32(1))
+
+        jax.lax.while_loop(cond, body, word)
+
+    # --- pipelined member-cluster DMA stream (one DMA in flight) -----------
+    pend[0] = jnp.int32(-1)
+    pend[1] = jnp.int32(0)
+    pword[0] = jnp.uint32(0)
+
+    def _enqueue(cid, word):
+        prev = pend[0]
+        prev_slot = pend[1]
+
+        @pl.when(prev >= 0)
+        def _overlap():
+            slot = 1 - prev_slot
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, prev]], buf.at[prev_slot], sem.at[prev_slot]
+            ).wait()
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, cid]], buf.at[slot], sem.at[slot]
+            ).start()
+            pw = pword[0]
+            pend[0] = cid
+            pend[1] = slot
+            pword[0] = word
+            _process_cluster(prev, prev_slot, pw)
+
+        @pl.when(prev < 0)
+        def _first():
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, cid]], buf.at[prev_slot], sem.at[prev_slot]
+            ).start()
+            pend[0] = cid
+            pword[0] = word
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        gi, _ = state
+        g = order_ref[0, 0, gi]
+        word = bits_ref[0, 0, g]
+        c0 = g * GROUP_SIZE
+        for m in range(GROUP_SIZE):
+            cid = c0 + m
+
+            @pl.when((cnt_ref[0, cid] > 0) & (word != jnp.uint32(0)))
+            def _m(cid=cid):
+                _enqueue(cid, word)
+
+        cap_ref[0] = band_cap()
+        gi2 = gi + 1
+        nxt = entry_ref[0, 0, jnp.minimum(gi2, jnp.maximum(ng - 1, 0))]
+        return gi2, (gi2 < ng) & (nxt < cap_ref[0])
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
+
+    last = pend[0]
+
+    @pl.when(last >= 0)
+    def _drain():
+        slot = pend[1]
+        pltpu.make_async_copy(
+            tris_ref.at[blk_ref[0, last]], buf.at[slot], sem.at[slot]
+        ).wait()
+        _process_cluster(last, slot, pword[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "interpret")
+)
+def stream_pallas(
+    ngrp,           # (B,) i32
+    order,          # (B, Gp) i32
+    entry_sorted,   # (B, Gp) f32
+    bits,           # (B, G) uint32
+    ox, oy, oz,     # (B, T, 8, 128) f32
+    dx, dy, dz,
+    tmax,           # (B, T, 8, 128) f32
+    flags,          # (B, T, 8, 128) i32
+    cluster_aabbs,  # (C, 6) f32
+    cnt, base, block_id, inst,  # (C,) i32
+    inv_rows,       # (n_inst, 12) f32
+    tris_rk,        # (Bk, K/8 + 8, 128) f32
+    t_min: float = 1e-4,
+    interpret: bool = False,
+):
+    b, gp = order.shape
+    g = bits.shape[1]
+    t = ox.shape[1]
+    c = cnt.shape[0]
+    n_inst = inv_rows.shape[0]
+    rows = tris_rk.shape[1]
+    sub = rows - N_SUB
+    instanced = n_inst > 1
+
+    kernel = functools.partial(_stream_kernel, t_min, sub, instanced)
+    ray_spec = pl.BlockSpec(
+        (None, t, SUPER_ROWS, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape4 = jax.ShapeDtypeStruct((b, t, SUPER_ROWS, 128), jnp.float32)
+    shape4i = jax.ShapeDtypeStruct((b, t, SUPER_ROWS, 128), jnp.int32)
+
+    def smem_band(w):
+        return pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+
+    def smem_glob(w):
+        return pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    t_o, tri_o, u_o, v_o = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            smem_band(1),      # ngrp
+            smem_band(gp),     # order
+            smem_band(gp),     # entry
+            smem_band(g),      # bits
+            ray_spec, ray_spec, ray_spec,   # o
+            ray_spec, ray_spec, ray_spec,   # d
+            ray_spec,          # tmax
+            ray_spec,          # flags
+            smem_glob(6 * c),  # cab
+            smem_glob(c),      # cnt
+            smem_glob(c),      # base
+            smem_glob(c),      # blk
+            smem_glob(c),      # inst
+            smem_glob(12 * n_inst),  # inv
+            pl.BlockSpec(memory_space=pltpu.HBM),  # tris (manual DMA)
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[shape4, shape4i, shape4, shape4],
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SMEM((1,), jnp.uint32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        ngrp.reshape(b, 1, 1),
+        order.reshape(b, 1, gp),
+        entry_sorted.reshape(b, 1, gp),
+        bits.reshape(b, 1, g),
+        ox, oy, oz, dx, dy, dz,
+        tmax, flags,
+        cluster_aabbs.reshape(1, 6 * c),
+        cnt.reshape(1, c), base.reshape(1, c), block_id.reshape(1, c),
+        inst.reshape(1, c),
+        inv_rows.reshape(1, 12 * n_inst),
+        tris_rk,
+    )
+    return t_o, tri_o, u_o, v_o
+
+
+def intersect_stream(
+    origin,
+    direction,
+    cl: ClusterData,
+    t_min=T_MIN,
+    t_max=T_MAX,
+    active=None,
+    anyhit=None,
+    interpret: bool = False,
+) -> Hit:
+    """Closest-hit (or per-ray any-hit) wavefront intersection via the
+    cluster-major stream kernel.  Drop-in replacement for
+    cluster.intersect_clusters(sort_rays=True) semantics.
+
+    `anyhit` — (N,) bool: rays that may stop at their FIRST found hit
+    (shadow queries).  Their returned hit is *a* hit below t_max, not
+    necessarily the closest.  None = all closest-hit.
+    """
+    n_orig = origin.shape[0]
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+    if active is None:
+        active = jnp.ones(n_orig, bool)
+    if anyhit is None:
+        anyhit = jnp.zeros(n_orig, bool)
+
+    # Small wavefronts use fewer supertiles per band (the uint32 mask just
+    # leaves its high bits clear) so tests/interpret mode don't pad a
+    # 300-ray call to a full 32K band.
+    tiles_pb = min(TILES_PER_BAND, max(1, -(-n_orig // (SUPER_ROWS * 128))))
+    band = tiles_pb * SUPER_ROWS * 128
+    pad = (-n_orig) % band
+    if pad:
+        origin = jnp.concatenate([origin, jnp.full((pad, 3), 1e9, jnp.float32)])
+        direction = jnp.concatenate(
+            [direction, jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
+        )
+        tmax_arr = jnp.concatenate([tmax_arr, jnp.full(pad, t_min, jnp.float32)])
+        active = jnp.concatenate([active, jnp.zeros(pad, bool)])
+        anyhit = jnp.concatenate([anyhit, jnp.zeros(pad, bool)])
+    n = origin.shape[0]
+
+    # Root-exit bound (see intersect_clusters): no hit can lie beyond the
+    # ray's exit from the scene root box, so escaping rays stop holding the
+    # front-to-back cap up.
+    root_min = jnp.min(cl.group_min, axis=0)
+    root_max = jnp.max(cl.group_max, axis=0)
+    inv_all = 1.0 / jnp.where(jnp.abs(direction) > 1e-20, direction, 1e-20)
+    r0 = (root_min[None, :] - origin) * inv_all
+    r1 = (root_max[None, :] - origin) * inv_all
+    tn_root = jnp.max(jnp.minimum(r0, r1), axis=1)
+    tf_root = jnp.min(jnp.maximum(r0, r1), axis=1)
+    exit_bound = jnp.where(
+        tn_root <= tf_root, tf_root * 1.0001 + jnp.float32(t_min), jnp.float32(t_min)
+    )
+    tmax_arr = jnp.minimum(tmax_arr, jnp.maximum(exit_bound, jnp.float32(t_min)))
+    tmax_arr = jnp.where(active, tmax_arr, jnp.float32(t_min))
+
+    g = cl.group_min.shape[0]
+    g_padded = -(-g // 128) * 128
+    gmin_pad = jnp.concatenate(
+        [cl.group_min, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]
+    ).T  # (3, Gp)
+    gmax_pad = jnp.concatenate(
+        [cl.group_max, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]
+    ).T
+
+    # ---- sort keys: (first, second) entered group per ray -----------------
+    n_pk = n // PACKET_SIZE
+    tn0, tf0 = _slab_tn_tf(
+        origin.reshape(n_pk, PACKET_SIZE, 3),
+        direction.reshape(n_pk, PACKET_SIZE, 3),
+        tmax_arr.reshape(n_pk, PACKET_SIZE), gmin_pad, gmax_pad, t_min,
+    )
+    ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
+    first = jnp.argmin(ent, axis=1).astype(jnp.int32)
+    v1 = jnp.min(ent, axis=1)
+    sentinel = jnp.int32(g_padded)
+    ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
+    ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
+    second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
+    v2 = jnp.min(ent2, axis=1)
+    first = jnp.where(jnp.isfinite(v1), first, sentinel)
+    second = jnp.where(jnp.isfinite(v2), second, sentinel)
+    key = first * (g_padded + 1) + second
+    key = jnp.where(active, key, jnp.int32(1 << 30))
+
+    flags = active.astype(jnp.int32) + anyhit.astype(jnp.int32) * 2
+    lane = jax.lax.iota(jnp.int32, n)
+    (_, lane_key, ox, oy, oz, dxs, dys, dzs, tmax_s, flags_s) = jax.lax.sort(
+        (key, lane, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         tmax_arr, flags),
+        num_keys=1, is_stable=True,
+    )
+
+    # ---- post-sort cull: per-supertile group masks + band tables ----------
+    n_st = n // (SUPER_ROWS * 128)       # supertiles
+    b = n // band                        # bands
+    o_s = jnp.stack([ox, oy, oz], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
+    d_s = jnp.stack([dxs, dys, dzs], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
+    act_s = (flags_s & 1) > 0
+    tm_eff = jnp.where(act_s, tmax_s, jnp.float32(t_min)).reshape(
+        n_st, SUPER_ROWS * 128
+    )
+    tns, tfs = _slab_tn_tf(o_s, d_s, tm_eff, gmin_pad, gmax_pad, t_min)
+    enter_st = tns <= tfs                                   # (S, 1024, Gp)
+    st_any = jnp.any(enter_st, axis=1)                      # (S, Gp)
+    st_entry = jnp.min(jnp.where(enter_st, tns, jnp.inf), axis=1)  # (S, Gp)
+
+    shifts = jnp.arange(tiles_pb, dtype=jnp.uint32)
+    bits = jnp.sum(
+        st_any.reshape(b, tiles_pb, g_padded).astype(jnp.uint32)
+        << shifts[None, :, None],
+        axis=1,
+        dtype=jnp.uint32,
+    )  # (B, Gp)
+    entry_bg = jnp.min(
+        st_entry.reshape(b, tiles_pb, g_padded), axis=1
+    )  # (B, Gp)
+    gids = jnp.broadcast_to(
+        jnp.arange(g_padded, dtype=jnp.int32)[None, :], (b, g_padded)
+    )
+    entry_sorted, order = jax.lax.sort((entry_bg, gids), dimension=1, num_keys=1)
+    ngrp = jnp.sum(jnp.isfinite(entry_bg), axis=1).astype(jnp.int32)
+
+    shape4 = (b, tiles_pb, SUPER_ROWS, 128)
+    bt, btri, bu, bv = stream_pallas(
+        ngrp, order, entry_sorted, bits[:, :g],
+        ox.reshape(shape4), oy.reshape(shape4), oz.reshape(shape4),
+        dxs.reshape(shape4), dys.reshape(shape4), dzs.reshape(shape4),
+        tmax_s.reshape(shape4), flags_s.reshape(shape4),
+        cl.aabbs, cl.count, cl.start, cl.block_id, cl.inst, cl.inv_rows,
+        cl.tris_rk,
+        t_min=float(t_min), interpret=interpret,
+    )
+    best_t = bt.reshape(n)
+    best_tri = btri.reshape(n)
+    found = best_tri >= 0
+    hit_t = jnp.where(found, best_t, -1.0)
+
+    (_, t_u, tri_u, u_u, v_u) = jax.lax.sort(
+        (lane_key, hit_t, best_tri, bu.reshape(n), bv.reshape(n)),
+        num_keys=1, is_stable=True,
+    )
+    if pad:
+        t_u, tri_u, u_u, v_u = (a[:n_orig] for a in (t_u, tri_u, u_u, v_u))
+    return Hit(t=t_u, tri=tri_u, u=u_u, v=v_u)

@@ -36,13 +36,20 @@ from vpt_tpu.accel import traverse
 from vpt_tpu.render.params import RenderFlags, RenderParams
 
 
-def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
-          t_max=traverse.T_MAX, any_hit: bool = False, sort_rays: bool = True):
-    """Dispatch to fused brute-force (small scenes) or the cluster-culled
-    wavefront intersector (vpt_tpu.accel.cluster) for large ones.
+_TRACE_MODE = os.environ.get("VPT_TRACE", "stream")  # stream | packet
 
-    `t_max` may be per-ray; with `any_hit` a ray stops at its first hit
-    (shadow queries report blocked iff t >= 0)."""
+
+def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
+          t_max=traverse.T_MAX, any_hit: bool = False, sort_rays: bool = True,
+          anyhit_mask=None):
+    """Dispatch to fused brute-force (small scenes) or a wavefront
+    intersector (cluster-major stream kernel by default; the packet-major
+    visit kernel behind VPT_TRACE=packet) for large ones.
+
+    `t_max` may be per-ray; with `any_hit` (whole-call) or `anyhit_mask`
+    (per-ray) a ray may stop at its first hit (shadow queries report
+    blocked iff t >= 0).  Closest-hit results are a valid superset of
+    any-hit results, so fallback paths may ignore the flags."""
     if meta.use_brute_force:
         n_real = meta.n_tris  # exclude padding
         hit = traverse.intersect_brute(
@@ -55,10 +62,20 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
             u=hit.u,
             v=hit.v,
         )
-    from vpt_tpu.accel.cluster import intersect_clusters
-
     n = origin.shape[0]
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas and _TRACE_MODE == "stream":
+        from vpt_tpu.accel.stream import intersect_stream
+
+        if anyhit_mask is None and any_hit:
+            anyhit_mask = jnp.ones(n, bool)
+        return intersect_stream(
+            origin, direction, scene.clusters, t_min, tmax_arr,
+            active=active, anyhit=anyhit_mask,
+        )
+    from vpt_tpu.accel.cluster import intersect_clusters
+
     # With sort_rays the intersector regroups the wavefront by each ray's
     # nearest entered cluster ids (see intersect_clusters): rays that need
     # triangle tests against the same cluster share packets regardless of
@@ -66,7 +83,8 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
     # diffuse bounces.
     return intersect_clusters(
         origin, direction, scene.clusters, t_min, tmax_arr,
-        active=active, any_hit=any_hit, sort_rays=sort_rays,
+        active=active, any_hit=any_hit and anyhit_mask is None,
+        sort_rays=sort_rays,
     )
 
 
@@ -340,7 +358,13 @@ def path_trace_sample(
             light_inst = jnp.full(n, -1, jnp.int32)
             light_dist = jnp.zeros(n, jnp.float32)
 
-        p_mag = jnp.linalg.norm(surf.world_pos, axis=-1) + s_floor  # (N,)
+        # Epsilons track the float32 ulp of the ACTUAL geometry coordinates:
+        # distance from the scene AABB center plus a scene-size floor (a
+        # |p|-relative heuristic breaks for small scenes modeled far from
+        # the world origin — ADVICE r2).
+        center = jnp.asarray(getattr(meta, "scene_center", (0.0, 0.0, 0.0)),
+                             jnp.float32)
+        p_mag = jnp.linalg.norm(surf.world_pos - center, axis=-1) + s_floor  # (N,)
         sky_eps = (5.8e-6 * p_mag)[:, None]
         light_eps = (5e-3 * (light_dist + s_floor))[:, None]
         if any_media:
@@ -359,36 +383,43 @@ def path_trace_sample(
             need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
             sky_org = surf.world_pos + surf.normal * sky_eps
             light_org = surf.world_pos + to_light * light_eps
-        # Shadow rays are any-hit queries: the light ray's t_max stops just
-        # short of the sampled point (the reference instead compares the hit
-        # triangle id, RayGen.slang:300-301; distance-epsilon is equivalent
-        # up to grazing-angle epsilons and lets every ray exit at its first
-        # blocker).  Offsets: origin already moved 1e-2 along the ray.
-        # Only trace the NEE halves that are statically enabled — a disabled
-        # half would be N dead lanes still paying cull+sort+dispatch.
+        # Shadow queries, one batched trace: the SKY half is any-hit
+        # (DoesRayIntersectWithAS, RTCommon.slang:47-84 — blocked iff any
+        # hit); the LIGHT half is CLOSEST-hit and visibility compares the
+        # hit's virtual triangle id against the sampled one, exactly the
+        # reference's ray-query semantics (ClosestHit.slang:169-176:
+        # closest committed hit, triangle+instance equality).  The light
+        # ray's t_max extends just past the sample — a planar triangle
+        # intersects a ray once, so any farther hit cannot be the sample.
+        # Only trace the NEE halves that are statically enabled — a
+        # disabled half would be N dead lanes still paying cull+dispatch.
         sky_half = bool(flags.enable_sky_mis)
         light_half = bool(use_mesh_nee)
         parts = []
         if sky_half:
             parts.append((sky_org, to_sky, need_sky,
-                          jnp.full(n, traverse.T_MAX, jnp.float32)))
+                          jnp.full(n, traverse.T_MAX, jnp.float32),
+                          jnp.ones(n, bool)))
         if light_half:
             parts.append((light_org, to_light, need_light,
-                          jnp.maximum(light_dist - 2.0 * light_eps[:, 0], t_min_s)))
+                          jnp.maximum(light_dist * 1.001 + light_eps[:, 0], t_min_s),
+                          jnp.zeros(n, bool)))
         if parts:
             shadow_org = jnp.concatenate([p[0] for p in parts])
             shadow_dir = jnp.concatenate([p[1] for p in parts])
             shadow_active = jnp.concatenate([p[2] for p in parts])
             shadow_tmax = jnp.concatenate([p[3] for p in parts])
+            shadow_anyhit = jnp.concatenate([p[4] for p in parts])
             shadow_hit = trace(
                 scene, meta, shadow_org, shadow_dir, shadow_active,
-                t_min=t_min_s, t_max=shadow_tmax, any_hit=True, sort_rays=_SORT_RAYS,
+                t_min=t_min_s, t_max=shadow_tmax, any_hit=False,
+                sort_rays=_SORT_RAYS, anyhit_mask=shadow_anyhit,
             )
         else:
             shadow_active = jnp.zeros(0, bool)
         sky_blocked = shadow_hit.t[:n] >= 0.0 if sky_half else jnp.zeros(n, bool)
         light_visible = (
-            shadow_hit.t[n if sky_half else 0:] < 0.0
+            shadow_hit.tri[n if sky_half else 0:] == light_tri
             if light_half else jnp.zeros(n, bool)
         )
         can_hit_sky = need_sky & ~sky_blocked

@@ -151,8 +151,11 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
     """Uniform mesh -> uniform triangle -> uniform barycentric NEE sample
     (SampleEmissiveTriangle, Sampler.slang:348-422).
 
-    Returns (state, to_light, color (N,3), pdf (N,), local_tri, instance,
-    distance).
+    Returns (state, to_light, color (N,3), pdf (N,), slot, instance,
+    distance).  `slot` is the sampled triangle's VIRTUAL id — the same id
+    space `Hit.tri` reports — so shadow-ray visibility can compare ids
+    exactly (ClosestHit.slang:169-176 compares triangle+instance; the
+    virtual id encodes both).
     """
     shape = position.shape[:-1]
     if n_emissive == 0:
@@ -218,6 +221,6 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
         )
         color = color * tex[..., :3]
     return (
-        state, to_light, color, pdf, tri_idx,
+        state, to_light, color, pdf, slot.astype(jnp.int32),
         em_row[..., 2].astype(jnp.int32), jnp.sqrt(dist_sq),
     )
