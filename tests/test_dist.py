@@ -40,20 +40,51 @@ def test_sharded_render_finite(cornell_setup, shape):
     assert float(segs) > 0
 
 
+def _psnr(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    peak = max(a.max(), b.max(), 1e-9)
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-300))
+
+
 @pytest.mark.slow
-def test_sharded_matches_single_chip_statistically(cornell_setup):
-    """Mean image brightness should agree between mesh shapes (same estimator)."""
+def test_sharded_matches_single_chip_exactly(cornell_setup):
+    """The design promise (dist/mesh.py): RNG is a pure function of
+    (pixel, sample), so EVERY mesh shape draws the identical sample set and
+    the images must match to fp-summation tolerance (PSNR > 60 dB), both
+    across shapes and against an unsharded single-device render."""
+    from vpt_tpu.dist.mesh import pixel_grid
+    from vpt_tpu.render import integrator
+    import functools
+
     data, meta, flags, params = cornell_setup
-    img_a, _ = render_sharded(
-        data, meta, flags, params, (16, 16), 7, n_samples=8,
-        mesh=make_mesh(tile=8, spp=1),
+    n_samples = 8
+    imgs = {}
+    for shape in [(8, 1), (4, 2), (2, 4), (1, 8)]:
+        img, _ = render_sharded(
+            data, meta, flags, params, (16, 16), 7, n_samples=n_samples,
+            mesh=make_mesh(tile=shape[0], spp=shape[1]),
+        )
+        imgs[shape] = np.asarray(img)
+
+    # Unsharded reference on one device
+    pixel_xy, pixel_index = pixel_grid(16, 16)
+    step = jax.jit(functools.partial(
+        integrator.render_samples, meta=meta, flags=flags,
+        resolution=(16, 16), n_samples=n_samples,
+    ))
+    radiance, _ = step(
+        data, params=params, pixel_xy=jnp.asarray(pixel_xy),
+        pixel_index=jnp.asarray(pixel_index), frame_seed=jnp.uint32(7),
     )
-    img_b, _ = render_sharded(
-        data, meta, flags, params, (16, 16), 7, n_samples=8,
-        mesh=make_mesh(tile=2, spp=4),
-    )
-    a, b = float(np.asarray(img_a).mean()), float(np.asarray(img_b).mean())
-    assert abs(a - b) / max(a, 1e-6) < 0.25
+    single = np.asarray(radiance).reshape(16, 16, 3)
+
+    base = imgs[(8, 1)]
+    for shape, img in imgs.items():
+        p = _psnr(base, img)
+        assert p > 60.0, f"mesh {shape} diverges from (8,1): PSNR {p:.1f} dB"
+    p = _psnr(base, single)
+    assert p > 60.0, f"sharded diverges from unsharded: PSNR {p:.1f} dB"
 
 
 @pytest.mark.slow

@@ -33,14 +33,18 @@ class SurfaceGeom(NamedTuple):
 
 
 def sample_texture(textures, tex_dims, tex_id, uv):
-    """Bilinear, repeat-wrap texture fetch from the padded texture stack.
+    """Bilinear, repeat-wrap texture fetch from the flat RGBA8 texel pool.
 
-    textures: (K, TH, TW, 4); tex_dims: (K, 2) true (h, w); tex_id: (N,);
-    uv: (N, 2).  Returns (N, 4).
+    textures: (P,) uint32 packed texels; tex_dims: (K, 3) (h, w, offset);
+    tex_id: (N,); uv: (N, 2).  Returns (N, 4) f32 in [0, 1].  Four scalar
+    gathers + in-register RGBA8 decode per sample — a quarter of the
+    bandwidth of f32x4 rows.
     """
-    dims = tex_dims[tex_id]  # (N, 2)
+    dims = tex_dims[tex_id]  # (N, 3)
     h = dims[:, 0].astype(jnp.float32)
     w = dims[:, 1].astype(jnp.float32)
+    off = dims[:, 2]
+    wi = jnp.maximum(dims[:, 1], 1)
     # Repeat wrap; texel centers at half-integers (matches linear samplers).
     u = uv[:, 0] - jnp.floor(uv[:, 0])
     v = uv[:, 1] - jnp.floor(uv[:, 1])
@@ -58,10 +62,23 @@ def sample_texture(textures, tex_dims, tex_id, uv):
     x1i = wrap(x0 + 1, w)
     y0i = wrap(y0, h)
     y1i = wrap(y0 + 1, h)
-    t00 = textures[tex_id, y0i, x0i]
-    t10 = textures[tex_id, y0i, x1i]
-    t01 = textures[tex_id, y1i, x0i]
-    t11 = textures[tex_id, y1i, x1i]
+
+    def fetch(yi, xi):
+        texel = textures[off + yi * wi + xi]  # (N,) uint32
+        return jnp.stack(
+            [
+                (texel & 0xFF).astype(jnp.float32),
+                ((texel >> 8) & 0xFF).astype(jnp.float32),
+                ((texel >> 16) & 0xFF).astype(jnp.float32),
+                (texel >> 24).astype(jnp.float32),
+            ],
+            axis=-1,
+        ) * (1.0 / 255.0)
+
+    t00 = fetch(y0i, x0i)
+    t10 = fetch(y0i, x1i)
+    t01 = fetch(y1i, x0i)
+    t11 = fetch(y1i, x1i)
     top = t00 * (1 - fx) + t10 * fx
     bot = t01 * (1 - fx) + t11 * fx
     return top * (1 - fy) + bot * fy

@@ -192,26 +192,37 @@ def build_material_table(materials) -> MaterialTable:
 
 
 def pack_textures(textures) -> jnp.ndarray:
-    """Pad all textures to a common (H, W) and stack: (K, H, W, 4) f32.
-
-    UVs are rescaled at sample time by each texture's true extent, stored in
-    the last row?  No — we keep it simple and *resize* nothing: samples use
-    per-texture width/height arrays produced here.
-    """
-    max_h = max(t.shape[0] for t in textures)
-    max_w = max(t.shape[1] for t in textures)
-    out = np.zeros((len(textures), max_h, max_w, 4), np.float32)
-    for i, t in enumerate(textures):
+    """Concatenate all textures row-major into one flat RGBA8 pool:
+    (P,) uint32 with one packed texel per element (r | g<<8 | b<<16 |
+    a<<24).  Memory is exactly the scene's texel count — no pad-to-max
+    blowup (a real Sponza mixes 1x1 defaults with 2K maps).  Sources are
+    float in [0,1]; quantization to 8 bits matches the reference's RGBA8
+    texture images (PathTracer.cpp:227-332)."""
+    chunks = []
+    for t in textures:
         t = np.asarray(t, np.float32)
         if t.shape[-1] == 3:
             t = np.concatenate([t, np.ones_like(t[..., :1])], axis=-1)
-        out[i, : t.shape[0], : t.shape[1]] = t
-    return jnp.asarray(out)
+        q = np.clip(np.rint(t * 255.0), 0, 255).astype(np.uint32)
+        packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+        chunks.append(packed.reshape(-1))
+    pool = np.concatenate(chunks) if chunks else np.zeros(1, np.uint32)
+    # Pad to a lane multiple so the gather table tiles cleanly.
+    pad = (-len(pool)) % 128
+    if pad:
+        pool = np.concatenate([pool, np.zeros(pad, np.uint32)])
+    return jnp.asarray(pool)
 
 
 def texture_dims(textures) -> jnp.ndarray:
-    """(K, 2) i32 true (height, width) of each packed texture."""
-    return jnp.asarray(np.array([[t.shape[0], t.shape[1]] for t in textures], np.int32))
+    """(K, 3) i32 (height, width, pool offset) of each packed texture."""
+    rows = []
+    off = 0
+    for t in textures:
+        h, w = t.shape[0], t.shape[1]
+        rows.append([h, w, off])
+        off += h * w
+    return jnp.asarray(np.array(rows, np.int32))
 
 
 def compile_scene(scene: Scene, lookup_tables=None):
@@ -439,6 +450,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
         ),
         name=scene.name,
         scene_scale=diag / CORNELL_DIAG,
+        scene_center=tuple(float(x) for x in (world_lo + world_hi) * 0.5),
     )
 
     aux = {
