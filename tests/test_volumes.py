@@ -112,3 +112,78 @@ def test_heterogeneous_volume_render_smoke():
     img = r.render()
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_merged_march_matches_per_volume_homogeneous():
+    """The merged entry-sorted march (scatter_distance_merged) must agree
+    with the per-volume loops statistically: two disjoint homogeneous
+    boxes along one ray — scatter fractions, per-volume attribution, and
+    transmittance all match the analytic values."""
+    vols = [
+        Volume(density=1.5, corner_min=(-1, -1, -1), corner_max=(1, 1, 1)),
+        Volume(density=0.8, corner_min=(-1, -1, 2), corner_max=(1, 1, 4)),
+    ]
+    vt = build_volume_table(vols)
+    n = 100_000
+    org, d = _rays_through_origin(n)
+    depth = jnp.zeros(n, jnp.int32)
+    act = jnp.ones(n, bool)
+
+    state = _states(n)
+    state, t_m, vi_m = vol_mod.scatter_distance_merged(state, vt, 2, org, d, depth, act)
+    t_m, vi_m = np.asarray(t_m), np.asarray(vi_m)
+
+    # Analytic: volume 0 spans [4,6] (optical depth 3), volume 1 spans
+    # [7,9] (optical depth 1.6).
+    p0 = 1 - np.exp(-3.0)
+    p1 = np.exp(-3.0) * (1 - np.exp(-1.6))
+    frac0 = ((t_m >= 0) & (vi_m == 0)).mean()
+    frac1 = ((t_m >= 0) & (vi_m == 1)).mean()
+    assert abs(frac0 - p0) < 0.01, (frac0, p0)
+    assert abs(frac1 - p1) < 0.01, (frac1, p1)
+    # Attribution: scatters in [4,6] are volume 0, in [7,9] volume 1
+    assert np.all(t_m[vi_m == 0] <= 6.0 + 1e-4)
+    assert np.all(t_m[vi_m == 1] >= 7.0 - 1e-4)
+
+    state, tr = vol_mod.volumes_transmittance_merged(state, vt, 2, org, d, depth, act)
+    np.testing.assert_allclose(
+        np.asarray(tr).mean(), np.exp(-3.0) * np.exp(-1.6), atol=1e-3
+    )
+
+
+@pytest.mark.slow
+def test_merged_march_matches_per_volume_heterogeneous():
+    """Merged march over one heterogeneous + one homogeneous volume agrees
+    with running the per-volume loops and taking the min."""
+    grid = np.full((16, 16, 16), 0.6, np.float32)
+    vols = [
+        Volume(density=1.0, density_grid=grid, corner_min=(-1, -1, -1), corner_max=(1, 1, 1)),
+        Volume(density=0.9, corner_min=(-1, -1, 2), corner_max=(1, 1, 4)),
+    ]
+    vt = build_volume_table(vols)
+    n = 60_000
+    org, d = _rays_through_origin(n)
+    depth = jnp.zeros(n, jnp.int32)
+    act = jnp.ones(n, bool)
+
+    state = _states(n, seed=11)
+    state, t_m, vi_m = vol_mod.scatter_distance_merged(state, vt, 2, org, d, depth, act)
+    t_m = np.asarray(t_m)
+
+    # Reference result from the per-volume path
+    state2 = _states(n, seed=12)
+    best = np.full(n, -1.0, np.float32)
+    for vi in range(2):
+        state2, t_v = vol_mod.scatter_distance_in_volume(state2, vt, vi, org, d, depth, act)
+        t_v = np.asarray(t_v)
+        closer = (t_v >= 0) & ((t_v < best) | (best < 0))
+        best = np.where(closer, t_v, best)
+
+    assert abs((t_m >= 0).mean() - (best >= 0).mean()) < 0.01
+    m_in = t_m[t_m >= 0]
+    b_in = best[best >= 0]
+    assert abs(m_in.mean() - b_in.mean()) < 0.03
+    # Transmittance paths agree too
+    state, tr_m = vol_mod.volumes_transmittance_merged(state, vt, 2, org, d, depth, act)
+    state2, tr_p = vol_mod.volumes_transmittance(state2, vt, 2, org, d, depth, act)
+    assert abs(np.asarray(tr_m).mean() - np.asarray(tr_p).mean()) < 0.01

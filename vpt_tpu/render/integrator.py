@@ -206,12 +206,21 @@ def path_trace_sample(
         if use_volumes:
             from vpt_tpu.render import volumes as vol_mod
 
-            for vi in range(meta.n_volumes):
-                state, t_vi = vol_mod.scatter_distance_in_volume(
-                    state, scene.volumes, vi, origin, direction, vol_depth, alive
+            if meta.n_volumes > 1:
+                # Entry-sorted single march over all volumes: the
+                # while_loop budget is shared (RayGen.slang:164-190
+                # semantics) instead of one full delta-tracking loop per
+                # volume per bounce.
+                state, scatter_t, scatter_vol = vol_mod.scatter_distance_merged(
+                    state, scene.volumes, meta.n_volumes, origin, direction,
+                    vol_depth, alive,
                 )
-                closer = (t_vi >= 0.0) & ((t_vi < scatter_t) | (scatter_t < 0.0))
-                scatter_vol = jnp.where(closer, vi, scatter_vol)
+            else:
+                state, t_vi = vol_mod.scatter_distance_in_volume(
+                    state, scene.volumes, 0, origin, direction, vol_depth, alive
+                )
+                closer = t_vi >= 0.0
+                scatter_vol = jnp.where(closer, 0, scatter_vol)
                 scatter_t = jnp.where(closer, t_vi, scatter_t)
         if flags.enable_atmosphere:
             # Channel pick for unsplit rays (RayGen.slang:214-224).  The
@@ -453,9 +462,14 @@ def path_trace_sample(
             if use_volumes:
                 from vpt_tpu.render import volumes as vol_mod
 
-                state, tv = vol_mod.volumes_transmittance(
-                    state, scene.volumes, meta.n_volumes, org, dirs, ray_depth, lanes
-                )
+                if meta.n_volumes > 1:
+                    state, tv = vol_mod.volumes_transmittance_merged(
+                        state, scene.volumes, meta.n_volumes, org, dirs, ray_depth, lanes
+                    )
+                else:
+                    state, tv = vol_mod.volumes_transmittance(
+                        state, scene.volumes, meta.n_volumes, org, dirs, ray_depth, lanes
+                    )
                 tr = tr * tv[:, None]
             if use_atmo and flags.enable_atmosphere:
                 # Unsplit rays: per-channel transmittance; split: one channel

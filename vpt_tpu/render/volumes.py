@@ -177,6 +177,153 @@ def scatter_distance_in_volume(state, vol, vi: int, origin, direction, ray_depth
     return out["state"], jnp.where(gi >= 0, t_het, t_hom)
 
 
+def _lane_volume_tables(vol, origin, direction, n_volumes: int):
+    """Per-lane entry-sorted volume order (RayGen.slang:164-190): returns
+    (order (N, V) i32, near (N, V), far (N, V)) with misses pushed last."""
+    nears, fars = [], []
+    for vi in range(n_volumes):
+        nv, fv = intersect_aabb(origin, direction, vol.corner_min[vi], vol.corner_max[vi])
+        nears.append(nv)
+        fars.append(fv)
+    near = jnp.stack(nears, axis=1)  # (N, V)
+    far = jnp.stack(fars, axis=1)
+    key = jnp.where(far >= 0.0, jnp.maximum(near, 0.0), jnp.inf)
+    ids = jnp.broadcast_to(
+        jnp.arange(n_volumes, dtype=jnp.int32)[None, :], key.shape
+    )
+    key_s, order = jax.lax.sort((key, ids), dimension=1, num_keys=1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)  # noqa: E731
+    return order, take(near), take(far), key_s
+
+
+def scatter_distance_merged(state, vol, n_volumes: int, origin, direction,
+                            ray_depth, active):
+    """Single merged march over ALL volumes per ray, entry-sorted
+    (ScatteredInVolume, RayGen.slang:162-208): each lane delta-tracks its
+    CURRENT volume and advances to the next when it exits, bounding later
+    volumes by the best scatter found so far — so the while_loop budget is
+    shared across volumes (N-volume cost ~ 1-volume cost) instead of one
+    full loop per volume.  Returns (state, t, volume_index) with t = -1
+    for no scatter; estimator-identical to per-volume marching because
+    each volume's tracking is independent and a nearer scatter always
+    wins (Volume.slang:256-356 semantics, maxDistance bound included).
+    """
+    n = origin.shape[0]
+    if n_volumes == 0:
+        return state, jnp.full(n, -1.0, jnp.float32), jnp.full(n, -1, jnp.int32)
+    order, near_s, far_s, entry_s = _lane_volume_tables(vol, origin, direction, n_volumes)
+    heterogeneous = vol.density_grids.shape[0] > 0
+    if heterogeneous:
+        g = vol.density_grids.shape[0]
+        blocks_flat = vol.max_density_blocks.reshape(g, -1)
+
+    def vol_at(slot_arr, table):
+        vi = jnp.take_along_axis(order, slot_arr[:, None], axis=1)[:, 0]
+        return vi, table
+
+    init = dict(
+        state=state,
+        slot=jnp.zeros(n, jnp.int32),
+        t=jnp.zeros(n, jnp.float32),        # param past near0 of current volume
+        fresh=jnp.ones(n, bool),             # entering a new slot this step
+        result=jnp.full(n, -1.0, jnp.float32),
+        result_vol=jnp.full(n, -1, jnp.int32),
+        live=active & jnp.isfinite(entry_s[:, 0]),
+        i=jnp.int32(0),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["i"] < MAX_DELTA_STEPS, jnp.any(c["live"]))
+
+    def body(c):
+        state = c["state"]
+        slot = jnp.minimum(c["slot"], n_volumes - 1)
+        vi = jnp.take_along_axis(order, slot[:, None], axis=1)[:, 0]
+        near = jnp.take_along_axis(near_s, slot[:, None], axis=1)[:, 0]
+        far = jnp.take_along_axis(far_s, slot[:, None], axis=1)[:, 0]
+        near0 = jnp.maximum(near, 0.0)
+        cmin = vol.corner_min[vi]  # (N, 3)
+        cmax = vol.corner_max[vi]
+        gi = vol.density_grid_index[vi]
+        dens0 = vol.density[vi]
+
+        # ---- homogeneous volumes: one analytic event, then advance -------
+        state, d_hom = sampling.sample_scatter_distance(state, jnp.maximum(dens0, 1e-20))
+        hom = gi < 0
+        hom_hit = c["fresh"] & hom & (d_hom < (far - near0))
+        hom_t = near0 + d_hom
+
+        # ---- heterogeneous: one block-restarted delta-tracking step ------
+        t = c["t"]
+        pos = origin + direction * (near0 + t)[:, None]
+        if heterogeneous:
+            ext = cmax - cmin
+            block_size = ext / BLOCK_DIM
+            eps = 1e-4 * jnp.max(ext, axis=-1)
+            pos_e = origin + direction * (near0 + t + eps)[:, None]
+            rel = (pos_e - cmin) / jnp.maximum(ext, 1e-20)
+            idx = jnp.clip((rel * BLOCK_DIM).astype(jnp.int32), 0, BLOCK_DIM - 1)
+            lin = idx[..., 0] + idx[..., 1] * BLOCK_DIM + idx[..., 2] * BLOCK_DIM * BLOCK_DIM
+            bmin = cmin + block_size * idx.astype(jnp.float32)
+            b_near, b_far = intersect_aabb(pos_e, direction, bmin, bmin + block_size)
+            max_density = _effective_density(
+                vol, vi, blocks_flat[jnp.maximum(gi, 0), lin] * dens0, ray_depth
+            )
+            state, sampled = sampling.sample_scatter_distance(
+                state, jnp.maximum(max_density, 1e-20)
+            )
+            bad_block = b_far <= 0.0
+            to_exit = b_far - jnp.maximum(b_near, 0.0)
+            advance_block = (~bad_block) & (sampled > to_exit)
+            t_new = jnp.where(
+                bad_block, t + eps, jnp.where(advance_block, t + to_exit + eps, t + sampled)
+            )
+            exited = (near0 + t_new) > far
+            # Stop marching past an already-found nearer scatter (the
+            # reference's maxDistance argument)
+            bounded = (c["result"] >= 0.0) & ((near0 + t_new) > c["result"])
+            test_lanes = c["live"] & ~hom & ~bad_block & ~advance_block & ~exited & ~bounded
+            spos = origin + direction * (near0 + t_new)[:, None]
+            state, dens = density_at_point(state, vol, vi, spos, ray_depth)
+            state, u = rng.next_float(state)
+            real_hit = test_lanes & (dens / jnp.maximum(max_density, 1e-20) >= u)
+            het_done = (~hom) & (exited | bounded | real_hit)
+        else:
+            t_new = t
+            real_hit = jnp.zeros(n, bool)
+            het_done = ~hom  # no grids: nothing to march
+            state, _ = rng.next_float(state)
+
+        hit_now = hom_hit | real_hit
+        hit_t = jnp.where(hom, hom_t, near0 + t_new)
+        better = c["live"] & hit_now & ((hit_t < c["result"]) | (c["result"] < 0.0))
+        result = jnp.where(better, hit_t, c["result"])
+        result_vol = jnp.where(better, vi, c["result_vol"])
+
+        # Advance to the next slot when this volume is finished
+        finished = c["live"] & (hom | het_done)
+        slot2 = c["slot"] + jnp.where(finished, 1, 0)
+        t2 = jnp.where(finished, 0.0, jnp.where(c["live"] & ~hom, t_new, t))
+        fresh2 = finished
+        # A lane dies when it runs out of volumes or the next entry lies
+        # beyond the best scatter already found
+        next_entry = jnp.take_along_axis(
+            entry_s, jnp.minimum(slot2, n_volumes - 1)[:, None], axis=1
+        )[:, 0]
+        dead = (slot2 >= n_volumes) | ~jnp.isfinite(next_entry) | (
+            (result >= 0.0) & (next_entry > result) & finished
+        )
+        live = c["live"] & ~dead
+        return dict(
+            state=state, slot=jnp.where(c["live"], slot2, c["slot"]),
+            t=jnp.where(c["live"], t2, c["t"]), fresh=fresh2,
+            result=result, result_vol=result_vol, live=live, i=c["i"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["state"], out["result"], out["result_vol"]
+
+
 def volumes_transmittance(state, vol, n_volumes: int, origin, direction, ray_depth, active):
     """CalculateVolumesTransmittance over all volumes (Volume.slang:419-446).
 
@@ -260,6 +407,109 @@ def volumes_transmittance(state, vol, n_volumes: int, origin, direction, ray_dep
         if n_volumes:
             trans = jnp.clip(trans, 0.0, 1.0)
     return state, jnp.clip(trans, 0.0, 1.0)
+
+
+def volumes_transmittance_merged(state, vol, n_volumes: int, origin, direction,
+                                 ray_depth, active):
+    """Merged ratio-tracking transmittance across ALL volumes per ray
+    (CalculateVolumesTransmittance, Volume.slang:419-517) with ONE shared
+    while_loop: each lane marches its entry-sorted volume sequence,
+    multiplying per-volume transmittance — homogeneous volumes resolve
+    analytically in a single step.  Returns (state, transmittance (N,))."""
+    n = origin.shape[0]
+    if n_volumes == 0:
+        return state, jnp.ones(n, jnp.float32)
+    order, near_s, far_s, entry_s = _lane_volume_tables(vol, origin, direction, n_volumes)
+    heterogeneous = vol.density_grids.shape[0] > 0
+    if heterogeneous:
+        g = vol.density_grids.shape[0]
+        blocks_flat = vol.max_density_blocks.reshape(g, -1)
+
+    init = dict(
+        state=state,
+        slot=jnp.zeros(n, jnp.int32),
+        t=jnp.zeros(n, jnp.float32),
+        tr=jnp.ones(n, jnp.float32),
+        live=active & jnp.isfinite(entry_s[:, 0]),
+        i=jnp.int32(0),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["i"] < MAX_TRANSMITTANCE_STEPS, jnp.any(c["live"]))
+
+    def body(c):
+        state = c["state"]
+        slot = jnp.minimum(c["slot"], n_volumes - 1)
+        vi = jnp.take_along_axis(order, slot[:, None], axis=1)[:, 0]
+        near = jnp.take_along_axis(near_s, slot[:, None], axis=1)[:, 0]
+        far = jnp.take_along_axis(far_s, slot[:, None], axis=1)[:, 0]
+        near0 = jnp.maximum(near, 0.0)
+        cmin = vol.corner_min[vi]
+        cmax = vol.corner_max[vi]
+        gi = vol.density_grid_index[vi]
+        dens0 = vol.density[vi]
+        hom = gi < 0
+        hom_tr = jnp.exp(-dens0 * jnp.maximum(far - near0, 0.0))
+
+        t = c["t"]
+        absorbed = jnp.zeros(n, bool)
+        if heterogeneous:
+            ext = cmax - cmin
+            block_size = ext / BLOCK_DIM
+            eps = 1e-4 * jnp.max(ext, axis=-1)
+            pos_e = origin + direction * (near0 + t + eps)[:, None]
+            rel = (pos_e - cmin) / jnp.maximum(ext, 1e-20)
+            idx = jnp.clip((rel * BLOCK_DIM).astype(jnp.int32), 0, BLOCK_DIM - 1)
+            lin = idx[..., 0] + idx[..., 1] * BLOCK_DIM + idx[..., 2] * BLOCK_DIM * BLOCK_DIM
+            bmin = cmin + block_size * idx.astype(jnp.float32)
+            b_near, b_far = intersect_aabb(pos_e, direction, bmin, bmin + block_size)
+            max_density = _effective_density(
+                vol, vi, blocks_flat[jnp.maximum(gi, 0), lin] * dens0, ray_depth
+            )
+            state, sampled = sampling.sample_scatter_distance(
+                state, jnp.maximum(max_density, 1e-20)
+            )
+            bad_block = b_far <= 0.0
+            to_exit = b_far - jnp.maximum(b_near, 0.0)
+            advance_block = (~bad_block) & (sampled > to_exit)
+            t_new = jnp.where(
+                bad_block, t + eps, jnp.where(advance_block, t + to_exit + eps, t + sampled)
+            )
+            exited = (near0 + t_new) > far
+            test_lanes = c["live"] & ~hom & ~bad_block & ~advance_block & ~exited
+            ipos = origin + direction * (near0 + t_new)[:, None]
+            state, dens = density_at_point(state, vol, vi, ipos, ray_depth)
+            ratio = 1.0 - dens / jnp.maximum(max_density, 1e-20)
+            tr = jnp.where(test_lanes, c["tr"] * ratio, c["tr"])
+            # Russian roulette with p = tr (Volume.slang:506-513)
+            state, u = rng.next_float(state)
+            absorbed = test_lanes & (u > tr)
+            tr = jnp.where(absorbed, 0.0, jnp.where(test_lanes, 1.0, tr))
+            het_done = (~hom) & exited
+        else:
+            t_new = t
+            tr = c["tr"]
+            het_done = ~hom
+            state, _ = rng.next_float(state)
+
+        tr = jnp.where(c["live"] & hom, tr * hom_tr, tr)
+        finished = c["live"] & (hom | het_done)
+        slot2 = c["slot"] + jnp.where(finished, 1, 0)
+        t2 = jnp.where(finished, 0.0, jnp.where(c["live"] & ~hom, t_new, t))
+        next_entry = jnp.take_along_axis(
+            entry_s, jnp.minimum(slot2, n_volumes - 1)[:, None], axis=1
+        )[:, 0]
+        dead = absorbed | (slot2 >= n_volumes) | (finished & ~jnp.isfinite(next_entry))
+        live = c["live"] & ~dead
+        return dict(
+            state=state, slot=jnp.where(c["live"], slot2, c["slot"]),
+            t=jnp.where(c["live"], t2, c["t"]),
+            tr=jnp.where(c["live"], jnp.clip(tr, 0.0, 1.0), c["tr"]),
+            live=live, i=c["i"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["state"], jnp.clip(out["tr"], 0.0, 1.0)
 
 
 def temperature_emission(state, vol, vi, x):
