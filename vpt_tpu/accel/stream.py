@@ -45,6 +45,7 @@ from vpt_tpu.accel.cluster import ClusterData, _slab_tn_tf, PACKET_SIZE
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE, N_SUB
 
+_PIPELINED = os.environ.get("VPT_STREAM_PIPELINE", "0") == "1"
 SUPER_ROWS = 8          # rows per supertile -> (8, 128) = 1024 rays
 TILES_PER_BAND = 32     # supertiles per band (= bits of the uint32 mask)
 BAND = TILES_PER_BAND * SUPER_ROWS * 128  # 32768 rays
@@ -69,6 +70,7 @@ def _stream_kernel(
     t_min: float,
     sub: int,          # triangles per sub-block (= K / N_SUB)
     instanced: bool,
+    pipelined: bool,
     # per-band SMEM tables (3D (1,1,W) blocks: TPU lowering requires the
     # last two block dims to equal the array dims for SMEM)
     ngrp_ref,          # (1,1,1) i32 — candidate group count for this band
@@ -259,12 +261,28 @@ def _stream_kernel(
 
         jax.lax.while_loop(cond, body, word)
 
-    # --- pipelined member-cluster DMA stream (one DMA in flight) -----------
+    # --- member-cluster DMA stream ------------------------------------------
+    # PIPELINED mode overlaps the previous cluster's triangle math with the
+    # next DMA (exactly one in flight); SINGLE mode does start+wait+process
+    # per member with no outstanding DMA across the supertile while_loop —
+    # Mosaic mis-schedules a data-dependent while_loop inside a DMA
+    # start->wait window in some program contexts, so SINGLE is the safe
+    # default until the pipelined form is proven in-situ.
     pend[0] = jnp.int32(-1)
     pend[1] = jnp.int32(0)
     pword[0] = jnp.uint32(0)
 
     def _enqueue(cid, word):
+        if not pipelined:
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+            ).wait()
+            _process_cluster(cid, 0, word)
+            return
+
         prev = pend[0]
         prev_slot = pend[1]
 
@@ -313,15 +331,16 @@ def _stream_kernel(
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
 
-    last = pend[0]
+    if pipelined:
+        last = pend[0]
 
-    @pl.when(last >= 0)
-    def _drain():
-        slot = pend[1]
-        pltpu.make_async_copy(
-            tris_ref.at[blk_ref[0, last]], buf.at[slot], sem.at[slot]
-        ).wait()
-        _process_cluster(last, slot, pword[0])
+        @pl.when(last >= 0)
+        def _drain():
+            slot = pend[1]
+            pltpu.make_async_copy(
+                tris_ref.at[blk_ref[0, last]], buf.at[slot], sem.at[slot]
+            ).wait()
+            _process_cluster(last, slot, pword[0])
 
 
 @functools.partial(
@@ -352,7 +371,7 @@ def stream_pallas(
     sub = rows - N_SUB
     instanced = n_inst > 1
 
-    kernel = functools.partial(_stream_kernel, t_min, sub, instanced)
+    kernel = functools.partial(_stream_kernel, t_min, sub, instanced, _PIPELINED)
     ray_spec = pl.BlockSpec(
         (None, t, SUPER_ROWS, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
