@@ -60,3 +60,27 @@ def test_cornell_renders(tmp_path):
     img = r.render()
     assert np.isfinite(img).all()
     assert img.max() > 0.05
+
+
+def test_texture_pool_no_pad_blowup():
+    # One 4K texture among 1x1 defaults must cost ~4K^2 texels, not KxMAXxMAX
+    # (VERDICT r2 #4: pad-to-max inflated every slot to the largest extent).
+    from vpt_tpu.scene.build import pack_textures, texture_dims
+
+    texs = [np.ones((1, 1, 4), np.float32)] * 3 + [np.ones((2048, 1024, 4), np.float32)]
+    pool = pack_textures(texs)
+    assert str(pool.dtype) == 'uint32'
+    assert pool.shape[0] <= 2048 * 1024 + 3 + 128
+    dims = np.asarray(texture_dims(texs))
+    assert dims[3, 2] == 3  # offset after three 1x1 defaults
+    assert tuple(dims[3, :2]) == (2048, 1024)
+
+
+def test_textured_colonnade_builds():
+    from vpt_tpu.scene.procedural import colonnade_textured
+
+    s = colonnade_textured(n_columns=2, column_res=(12, 8))
+    assert len(s.textures) == 9
+    mats = {m.name: m for m in s.materials}
+    assert mats["stone"].base_color_texture >= 3
+    assert mats["floor"].normal_texture >= 3

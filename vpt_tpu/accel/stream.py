@@ -118,9 +118,10 @@ def _stream_kernel(
 
     cap_ref[0] = band_cap()
 
-    def _process_supertile(cid, slot, j):
-        """Slab-refine supertile j against cluster `cid` (block in
-        buf[slot]); run per-row sub-AABB + MT on entering rows."""
+    def _supertile_enter(cid, j):
+        """(8,128) cluster world-AABB slab for supertile j, tf bounded by
+        each live ray's current best — shared by the pre-DMA word
+        refinement and the triangle pass."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
         d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
         fl = flags_ref[j]
@@ -129,9 +130,7 @@ def _stream_kernel(
         live = ((fl & _FLAG_ACT) > 0) & (
             ((fl & _FLAG_ANYHIT) == 0) | (tri8 < 0)
         )
-
         inv8 = tuple(1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20) for d in d8)
-        # World-AABB slab test, tf bounded by each ray's current best
         tn = jnp.full((8, 128), t_min, jnp.float32)
         tf = jnp.where(live, bt8, t_min)
         o6 = 6 * cid
@@ -140,7 +139,33 @@ def _stream_kernel(
             s1 = (cab_ref[0, o6 + 3 + ax] - o8[ax]) * inv8[ax]
             tn = jnp.maximum(tn, jnp.minimum(s0, s1))
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
-        enter = (tn <= tf) & live
+        return (tn <= tf) & live
+
+    def _refine_word(cid, word):
+        """Drop supertile bits whose rays don't enter cluster `cid`'s own
+        AABB (the group word is the union over 8 members) — BEFORE the
+        DMA, so members with no entering supertile skip HBM entirely."""
+        def cond(c):
+            return c[0] != jnp.uint32(0)
+
+        def body(c):
+            w, out = c
+            lsb = w & (jnp.uint32(0) - w)
+            j = _ctz32(w)
+            hit = jnp.any(_supertile_enter(cid, j))
+            out = out | jnp.where(hit, lsb, jnp.uint32(0))
+            return w & (w - jnp.uint32(1)), out
+
+        return jax.lax.while_loop(cond, body, (word, jnp.uint32(0)))[1]
+
+    def _process_supertile(cid, slot, j):
+        """Run per-row sub-AABB + MT on rows entering cluster `cid` (block
+        in buf[slot])."""
+        o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
+        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
+        bt8 = t_out[j]
+        tri8 = tri_out[j]
+        enter = _supertile_enter(cid, j)
 
         @pl.when(jnp.any(enter))
         def _go():
@@ -274,13 +299,17 @@ def _stream_kernel(
 
     def _enqueue(cid, word):
         if not pipelined:
-            pltpu.make_async_copy(
-                tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
-            ).start()
-            pltpu.make_async_copy(
-                tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
-            ).wait()
-            _process_cluster(cid, 0, word)
+            w2 = _refine_word(cid, word)
+
+            @pl.when(w2 != jnp.uint32(0))
+            def _hit():
+                pltpu.make_async_copy(
+                    tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+                ).start()
+                pltpu.make_async_copy(
+                    tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+                ).wait()
+                _process_cluster(cid, 0, w2)
             return
 
         prev = pend[0]

@@ -308,13 +308,48 @@ def make_ripple_quad(width, height, nx=64, ny=64, amp=0.1, freq=3.0) -> Mesh:
     return Mesh(pts, nrm, uv, indices, name="drape")
 
 
-def colonnade(n_columns=8, column_res=(96, 40)) -> Scene:
+def _fbm2(shape, octaves=5, seed=0):
+    """Cheap value-noise fbm in [0,1] for procedural texture content."""
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    out = np.zeros((h, w), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        gh, gw = max(2, h >> (octaves - 1 - o)), max(2, w >> (octaves - 1 - o))
+        g = rng.random((gh, gw)).astype(np.float32)
+        ys = np.linspace(0, gh - 1, h)
+        xs = np.linspace(0, gw - 1, w)
+        y0 = ys.astype(int); x0 = xs.astype(int)
+        y1 = np.minimum(y0 + 1, gh - 1); x1 = np.minimum(x0 + 1, gw - 1)
+        fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
+        v = (g[np.ix_(y0, x0)] * (1 - fy) * (1 - fx) + g[np.ix_(y0, x1)] * (1 - fy) * fx
+             + g[np.ix_(y1, x0)] * fy * (1 - fx) + g[np.ix_(y1, x1)] * fy * fx)
+        out += amp * v
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
+def _normal_from_height(hmap, strength=2.0):
+    """Tangent-space normal map ((0.5,0.5,1) neutral) from a height field."""
+    gy, gx = np.gradient(hmap.astype(np.float32))
+    n = np.stack([-gx * strength, -gy * strength, np.ones_like(hmap)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n * 0.5 + 0.5).astype(np.float32)
+
+
+def colonnade(n_columns=8, column_res=(96, 40), textured=False) -> Scene:
     """Sponza-class benchmark scene (~340K triangles at defaults): a two-row
     colonnaded courtyard with fluted columns (all INSTANCES of one mesh),
     rippled drapes, statues, and a sun-hotspot sky.  This is the scene
     BASELINE.md's segments/s target is measured on — a real-scale stand-in
     for the reference's Sponza workflows (its own Sponza asset is not
-    bundled; Assets/BreakfastRoom.gltf is unloadable — .bin absent)."""
+    bundled; Assets/BreakfastRoom.gltf is unloadable — .bin absent).
+
+    With `textured`, stone/floor/drape materials get procedural 1K albedo +
+    normal maps (the reference's Sponza-class path is bindless textures,
+    PathTracer.cpp:227-332) so the hot loop's per-bounce texture gathers
+    are measured at realistic texel counts (~5M texels)."""
     meshes, instances, materials = [], [], []
 
     def add_mesh(mesh):
@@ -332,10 +367,48 @@ def colonnade(n_columns=8, column_res=(96, 40)) -> Scene:
         t[:3, 3] = translate
         instances.append(Instance(mesh=mesh_id, material=mat_id, transform=t, name=name))
 
-    stone = add_mat(Material(name="stone", base_color=(0.55, 0.52, 0.48), roughness=0.85))
-    floor_m = add_mat(Material(name="floor", base_color=(0.4, 0.38, 0.36), roughness=0.6))
-    red_drape = add_mat(Material(name="drape-red", base_color=(0.45, 0.06, 0.06), roughness=0.95))
-    green_drape = add_mat(Material(name="drape-green", base_color=(0.07, 0.3, 0.1), roughness=0.95))
+    textures = default_textures()
+    tex_kw = {"stone": {}, "floor": {}, "drape": {}}
+    if textured:
+        def add_tex(img):
+            textures.append(np.asarray(img, np.float32))
+            return len(textures) - 1
+
+        # Stone: mottled albedo + chiseled normal (1K)
+        hm = _fbm2((1024, 1024), seed=3)
+        stone_alb = np.stack([0.5 + 0.25 * hm, 0.47 + 0.24 * hm, 0.43 + 0.22 * hm], -1)
+        stone_n = _normal_from_height(hm, 3.0)
+        # Floor: marble checker with veins (1K)
+        yy, xx = np.mgrid[0:1024, 0:1024]
+        check = (((yy // 128) + (xx // 128)) % 2).astype(np.float32)
+        veins = _fbm2((1024, 1024), seed=9)
+        floor_alb = np.stack(
+            [0.25 + 0.5 * check + 0.12 * veins,
+             0.24 + 0.48 * check + 0.12 * veins,
+             0.23 + 0.46 * check + 0.10 * veins], -1)
+        floor_n = _normal_from_height(veins, 1.2)
+        # Drape: woven stripes (512)
+        wy, wx = np.mgrid[0:512, 0:512]
+        weave = 0.75 + 0.25 * np.sin(wx / 3.0) * np.sin(wy / 3.0)
+        drape_alb = np.stack([weave, weave, weave], -1).astype(np.float32)
+        drape_n = _normal_from_height(weave.astype(np.float32), 1.5)
+        tex_kw = {
+            "stone": dict(base_color_texture=add_tex(np.clip(stone_alb, 0, 1)),
+                          normal_texture=add_tex(stone_n)),
+            "floor": dict(base_color_texture=add_tex(np.clip(floor_alb, 0, 1)),
+                          normal_texture=add_tex(floor_n)),
+            "drape": dict(base_color_texture=add_tex(drape_alb),
+                          normal_texture=add_tex(drape_n)),
+        }
+
+    stone = add_mat(Material(name="stone", base_color=(0.55, 0.52, 0.48), roughness=0.85,
+                             **tex_kw["stone"]))
+    floor_m = add_mat(Material(name="floor", base_color=(0.4, 0.38, 0.36), roughness=0.6,
+                               **tex_kw["floor"]))
+    red_drape = add_mat(Material(name="drape-red", base_color=(0.45, 0.06, 0.06), roughness=0.95,
+                                 **tex_kw["drape"]))
+    green_drape = add_mat(Material(name="drape-green", base_color=(0.07, 0.3, 0.1), roughness=0.95,
+                                   **tex_kw["drape"]))
     brass = add_mat(Material(name="brass", base_color=(0.85, 0.62, 0.3), metallic=1.0, roughness=0.25))
     glass = add_mat(Material(name="glass", base_color=(1, 1, 1), transmission=1.0, ior=1.5, roughness=0.03))
     lamp = add_mat(Material(name="lamp", base_color=(1, 1, 1), emissive_color=(40.0, 32.0, 22.0)))
@@ -404,13 +477,19 @@ def colonnade(n_columns=8, column_res=(96, 40)) -> Scene:
         meshes=meshes,
         instances=instances,
         materials=materials,
-        textures=default_textures(),
+        textures=textures,
         camera_view=view,
         camera_fov_deg=55.0,
         camera_aspect=1.0,
         env_map=sky,
-        name="colonnade",
+        name="colonnade_textured" if textured else "colonnade",
     )
+
+
+def colonnade_textured(n_columns=8, column_res=(96, 40)) -> Scene:
+    """Textured variant of the bench scene (BASELINE config 4: Sponza-scale
+    + textures) — 1K stone/floor albedo+normal maps, 512 drape weave."""
+    return colonnade(n_columns, column_res, textured=True)
 
 
 def furnace_sphere(albedo=1.0, sky=1.0) -> Scene:
