@@ -98,6 +98,8 @@ def _stream_kernel(
     pend,              # (4,) i32 SMEM: [pending cid, slot, word_lo_bits, unused]
     pword,             # (1,) u32 SMEM: pending cluster's supertile word
     cap_ref,           # (1,) f32 SMEM: current band cap (max live best-t)
+    invx, invy, invz,  # (T, 8, 128) VMEM scratch: per-band reciprocal dirs
+    emask,             # (T, 8, 128) i32 VMEM scratch: refine's enter masks
 ):
     t_out[...] = tmax_ref[...]
     tri_out[...] = jnp.full(tri_out.shape, -1, jnp.int32)
@@ -106,6 +108,12 @@ def _stream_kernel(
 
     ng = ngrp_ref[0, 0, 0]
     idx0 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+
+    # Reciprocal directions once per band — the slab tests otherwise paid
+    # three vector divides per (member, supertile) visit, twice.
+    invx[...] = 1.0 / jnp.where(jnp.abs(dx_ref[...]) > 1e-20, dx_ref[...], 1e-20)
+    invy[...] = 1.0 / jnp.where(jnp.abs(dy_ref[...]) > 1e-20, dy_ref[...], 1e-20)
+    invz[...] = 1.0 / jnp.where(jnp.abs(dz_ref[...]) > 1e-20, dz_ref[...], 1e-20)
 
     def band_cap():
         """Max best-t over live rays — the front-to-back early-exit bound.
@@ -120,17 +128,15 @@ def _stream_kernel(
 
     def _supertile_enter(cid, j):
         """(8,128) cluster world-AABB slab for supertile j, tf bounded by
-        each live ray's current best — shared by the pre-DMA word
-        refinement and the triangle pass."""
+        each live ray's current best."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
-        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
         fl = flags_ref[j]
         bt8 = t_out[j]
         tri8 = tri_out[j]
         live = ((fl & _FLAG_ACT) > 0) & (
             ((fl & _FLAG_ANYHIT) == 0) | (tri8 < 0)
         )
-        inv8 = tuple(1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20) for d in d8)
+        inv8 = (invx[j], invy[j], invz[j])
         tn = jnp.full((8, 128), t_min, jnp.float32)
         tf = jnp.where(live, bt8, t_min)
         o6 = 6 * cid
@@ -144,7 +150,10 @@ def _stream_kernel(
     def _refine_word(cid, word):
         """Drop supertile bits whose rays don't enter cluster `cid`'s own
         AABB (the group word is the union over 8 members) — BEFORE the
-        DMA, so members with no entering supertile skip HBM entirely."""
+        DMA, so members with no entering supertile skip HBM entirely.
+        Surviving supertiles' enter masks are stashed in `emask` for the
+        triangle pass (valid because processing follows refinement for
+        the same cluster in single-buffered mode)."""
         def cond(c):
             return c[0] != jnp.uint32(0)
 
@@ -152,20 +161,22 @@ def _stream_kernel(
             w, out = c
             lsb = w & (jnp.uint32(0) - w)
             j = _ctz32(w)
-            hit = jnp.any(_supertile_enter(cid, j))
+            ent = _supertile_enter(cid, j)
+            emask[j] = ent.astype(jnp.int32)
+            hit = jnp.any(ent)
             out = out | jnp.where(hit, lsb, jnp.uint32(0))
             return w & (w - jnp.uint32(1)), out
 
         return jax.lax.while_loop(cond, body, (word, jnp.uint32(0)))[1]
 
-    def _process_supertile(cid, slot, j):
+    def _process_supertile(cid, slot, j, use_emask=False):
         """Run per-row sub-AABB + MT on rows entering cluster `cid` (block
         in buf[slot])."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
         d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
         bt8 = t_out[j]
         tri8 = tri_out[j]
-        enter = _supertile_enter(cid, j)
+        enter = emask[j] > 0 if use_emask else _supertile_enter(cid, j)
 
         @pl.when(jnp.any(enter))
         def _go():
@@ -185,12 +196,13 @@ def _stream_kernel(
                 ldx = T[0] * d8[0] + T[1] * d8[1] + T[2] * d8[2]
                 ldy = T[4] * d8[0] + T[5] * d8[1] + T[6] * d8[2]
                 ldz = T[8] * d8[0] + T[9] * d8[1] + T[10] * d8[2]
+                linv_x = 1.0 / jnp.where(jnp.abs(ldx) > 1e-20, ldx, 1e-20)
+                linv_y = 1.0 / jnp.where(jnp.abs(ldy) > 1e-20, ldy, 1e-20)
+                linv_z = 1.0 / jnp.where(jnp.abs(ldz) > 1e-20, ldz, 1e-20)
             else:
                 lox, loy, loz = o8
                 ldx, ldy, ldz = d8
-            linv_x = 1.0 / jnp.where(jnp.abs(ldx) > 1e-20, ldx, 1e-20)
-            linv_y = 1.0 / jnp.where(jnp.abs(ldy) > 1e-20, ldy, 1e-20)
-            linv_z = 1.0 / jnp.where(jnp.abs(ldz) > 1e-20, ldz, 1e-20)
+                linv_x, linv_y, linv_z = invx[j], invy[j], invz[j]
 
             for r in range(SUPER_ROWS):
                 er = enter[r : r + 1, :]  # (1, 128)
@@ -274,14 +286,14 @@ def _stream_kernel(
                     u_out[j, r : r + 1, :] = best_u
                     v_out[j, r : r + 1, :] = best_v
 
-    def _process_cluster(cid, slot, word):
+    def _process_cluster(cid, slot, word, use_emask=False):
         """Visit every supertile whose mask bit is set (ctz loop)."""
         def cond(w):
             return w != jnp.uint32(0)
 
         def body(w):
             j = _ctz32(w)
-            _process_supertile(cid, slot, j)
+            _process_supertile(cid, slot, j, use_emask=use_emask)
             return w & (w - jnp.uint32(1))
 
         jax.lax.while_loop(cond, body, word)
@@ -309,7 +321,7 @@ def _stream_kernel(
                 pltpu.make_async_copy(
                     tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
                 ).wait()
-                _process_cluster(cid, 0, w2)
+                _process_cluster(cid, 0, w2, use_emask=True)
             return
 
         prev = pend[0]
@@ -441,6 +453,10 @@ def stream_pallas(
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SMEM((1,), jnp.uint32),
             pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
+            pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
+            pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
+            pltpu.VMEM((t, SUPER_ROWS, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
