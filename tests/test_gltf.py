@@ -84,3 +84,23 @@ def test_textured_colonnade_builds():
     mats = {m.name: m for m in s.materials}
     assert mats["stone"].base_color_texture >= 3
     assert mats["floor"].normal_texture >= 3
+
+
+def test_async_import_matches_sync():
+    # ThreadPool{4} concurrent image decode (Editor.h:52 parity) must load
+    # byte-identical scenes.
+    import time
+    from vpt_tpu.scene.gltf import load_gltf
+
+    path = "/root/reference/Assets/VikingRoom.gltf"
+    t0 = time.perf_counter()
+    a = load_gltf(path, async_import=True)
+    t_async = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = load_gltf(path, async_import=False)
+    t_sync = time.perf_counter() - t0
+    assert len(a.textures) == len(b.textures)
+    for ta, tb in zip(a.textures, b.textures):
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    assert len(a.meshes) == len(b.meshes)
+    print(f"viking room load: async {t_async:.2f}s vs sync {t_sync:.2f}s")

@@ -80,3 +80,85 @@ def test_tonemapped_golden_png():
     os.remove(tmp)
     assert back.shape == ldr.shape
     assert np.abs(back - ldr).max() < 1 / 255 + 1e-3
+
+
+def _golden_check(name, img, tol=0.97):
+    path = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img)
+        pytest.skip("golden generated on first run; commit it")
+    golden = np.load(path)
+    s = ssim(np.clip(img, 0, 8), np.clip(golden, 0, 8))
+    assert s > tol, f"SSIM vs {name}: {s:.4f}"
+
+
+@pytest.mark.slow
+def test_glass_caustic_golden():
+    """Dielectric path regression gate: Cornell with a glass tall box
+    (refraction, TIR, caustic light transport through the dielectric)."""
+    from vpt_tpu.scene.types import Material
+
+    scene = cornell_box()
+    scene.materials.append(Material(
+        name="glass", base_color=(1, 1, 1), transmission=1.0, ior=1.5,
+        roughness=0.02,
+    ))
+    scene.instances[-2].material = len(scene.materials) - 1  # tall box
+    r = Renderer(scene, width=48, height=48,
+                 flags=RenderFlags(max_depth=8, max_medium_events=4),
+                 samples_per_frame=24, max_samples=24, lookup_tables=None)
+    r._seed_counter = 17
+    r.path_trace()
+    _golden_check("glass_cornell_48_24spp.npy", np.asarray(r.hdr_image()))
+
+
+@pytest.mark.slow
+def test_heterogeneous_smoke_golden():
+    """Volumetric path regression gate: a procedural heterogeneous smoke
+    cloud inside the Cornell box (delta tracking + ratio-tracked NEE)."""
+    from vpt_tpu.scene.types import Volume
+    from vpt_tpu.scene.vdb import procedural_cloud
+
+    scene = cornell_box(with_boxes=False)
+    grid = procedural_cloud((24, 24, 24), coverage=0.55, seed=4)
+    scene.volumes = [Volume(
+        density=6.0, density_grid=grid,
+        corner_min=(-0.7, -0.9, -0.7), corner_max=(0.7, 0.5, 0.7),
+        anisotropy=0.3,
+    )]
+    r = Renderer(scene, width=40, height=40,
+                 flags=RenderFlags(max_depth=5, max_medium_events=6),
+                 samples_per_frame=16, max_samples=16, lookup_tables=None)
+    r._seed_counter = 23
+    r.path_trace()
+    _golden_check("smoke_cornell_40_16spp.npy", np.asarray(r.hdr_image()))
+
+
+@pytest.mark.slow
+def test_atmosphere_sunset_golden():
+    """Atmosphere path regression gate: path-traced sunset (ratio-tracked
+    transmittance, spectral splitting, sun-disk NEE)."""
+    from vpt_tpu.core.camera import look_at
+    from vpt_tpu.scene.procedural import make_quad
+    from vpt_tpu.scene.types import Instance, Material, Scene
+
+    ground = make_quad((-50, -0.2, 50), (50, -0.2, 50), (50, -0.2, -50), (-50, -0.2, -50))
+    view = look_at((0.0, 1.0, 0.0), (0.0, 4.0, -20.0), (0.0, 1.0, 0.0))
+    scene = Scene(
+        meshes=[ground],
+        instances=[Instance(mesh=0, material=0, transform=np.eye(4, dtype=np.float32))],
+        materials=[Material(base_color=(0.4, 0.35, 0.3))],
+        textures=[],
+        camera_view=view,
+        camera_aspect=1.0,
+        name="sunset",
+    )
+    r = Renderer(scene, width=32, height=32,
+                 flags=RenderFlags(max_depth=5, max_medium_events=3,
+                                   enable_atmosphere=True, enable_mesh_mis=False),
+                 samples_per_frame=16, max_samples=16, lookup_tables=None)
+    r.set_sky_altitude(-2.0)  # sun at the horizon -> sunset spectrum
+    r._seed_counter = 31
+    r.path_trace()
+    _golden_check("sunset_32_16spp.npy", np.asarray(r.hdr_image()), tol=0.95)

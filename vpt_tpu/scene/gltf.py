@@ -111,8 +111,12 @@ def _load_image(doc, buffers, base_dir, image_index):
     return arr
 
 
-def load_gltf(path: str) -> Scene:
-    """Load a .gltf (JSON) file into a host Scene."""
+def load_gltf(path: str, async_import: bool = True) -> Scene:
+    """Load a .gltf (JSON) file into a host Scene.
+
+    With `async_import`, all referenced images are decoded concurrently on
+    a 4-thread pool — the reference's ThreadPool{4} future-based asset
+    import (Editor.h:52, PathTracer.cpp:166-168)."""
     base_dir = os.path.dirname(os.path.abspath(path))
     if path.endswith(".glb"):
         doc, buffers = _load_glb(path)
@@ -122,6 +126,22 @@ def load_gltf(path: str) -> Scene:
         buffers = _load_buffers(doc, base_dir)
 
     # ---- textures ---------------------------------------------------------
+    image_cache: dict = {}
+    if async_import and doc.get("images"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {
+                i: ex.submit(_load_image, doc, buffers, base_dir, i)
+                for i in range(len(doc["images"]))
+            }
+            image_cache = {i: f.result() for i, f in futs.items()}
+
+    def _image(source):
+        if source not in image_cache:
+            image_cache[source] = _load_image(doc, buffers, base_dir, source)
+        return image_cache[source]
+
     textures = default_textures()  # slots 0 (white), 1 (flat normal), 2 (white)
     tex_cache: dict = {}
 
@@ -131,7 +151,7 @@ def load_gltf(path: str) -> Scene:
         if key in tex_cache:
             return tex_cache[key]
         source = doc["textures"][tex_index].get("source", 0)
-        arr = _load_image(doc, buffers, base_dir, source)
+        arr = _image(source)
         textures.append(arr)
         tex_cache[key] = len(textures) - 1
         return tex_cache[key]
@@ -142,7 +162,7 @@ def load_gltf(path: str) -> Scene:
         if key in tex_cache:
             return tex_cache[key]
         source = doc["textures"][tex_index].get("source", 0)
-        arr = _load_image(doc, buffers, base_dir, source)
+        arr = _image(source)
         rough = arr.copy()
         rough[..., 0] = arr[..., 1]  # G -> .r
         metal = arr.copy()
