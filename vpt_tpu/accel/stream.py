@@ -24,6 +24,29 @@ that actually enter it:
   each triangle block moves HBM->VMEM once per band instead of once per
   visiting packet (~20x fewer DMAs on colonnade).
 
+Round-3.5 additions (dense prologue + per-supertile caps):
+
+  The supertile masks alone leave ~20% MT lane fill (a 1024-ray
+  supertile's incidences spread over every group its rays touch) and the
+  band candidate loop's per-visit orchestration (~3.4 us/supertile visit)
+  runs even for rays that already found their hit.  Two changes make the
+  hot path scale with *unfinished* incidences:
+
+  - PHASE A (dense prologue): the sort key is the base-(gp+1) packing of
+    each ray's first PROLOGUE entered groups, so level-l groups are
+    row-contiguous after the sort.  Per band, per level, a run list
+    (distinct group, supertile span) drives dense processing: every ray
+    tests its own l-th group with ~full 128-lane rows, in per-ray
+    front-to-back order (level order = entry order).  This usually finds
+    the final hit and costs ~11 ms per level per 262K rays.
+  - PHASE B keeps the candidate/bits tables (built EXCLUDING each ray's
+    prologue groups) for whatever the prologue didn't finish, but screens
+    every (supertile, group) visit against `caps` — per-supertile running
+    max best-t over live rays, tightened after every processed supertile —
+    using the per-(supertile, group) entry table `sent`.  A supertile
+    whose rays are all done prunes at one SMEM compare per candidate,
+    never touching the slab units.
+
 Mixed per-ray semantics: an `anyhit` flag bit makes a ray stop improving
 its hit after the first found intersection (shadow queries), so main +
 sky-NEE + light-NEE rays share ONE sort/cull/launch per bounce.  Closest-
@@ -46,6 +69,11 @@ from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE, N_SUB
 
 _PIPELINED = os.environ.get("VPT_STREAM_PIPELINE", "0") == "1"
+# Dense-prologue depth: each ray's first PROLOGUE entered groups (which the
+# payload sort makes row-contiguous) are processed as per-band run lists
+# with ~full 128-lane MT occupancy BEFORE the band candidate loop, and are
+# excluded from the band tables.  1..3; 3 needs (gp+1)^3 < 2^31.
+PROLOGUE = max(1, min(3, int(os.environ.get("VPT_PROLOGUE", "2"))))
 SUPER_ROWS = 8          # rows per supertile -> (8, 128) = 1024 rays
 TILES_PER_BAND = 32     # supertiles per band (= bits of the uint32 mask)
 BAND = TILES_PER_BAND * SUPER_ROWS * 128  # 32768 rays
@@ -71,17 +99,26 @@ def _stream_kernel(
     sub: int,          # triangles per sub-block (= K / N_SUB)
     instanced: bool,
     pipelined: bool,
+    depth: int,        # dense-prologue levels (1..3)
+    tiles: int,        # supertiles per band (gk_ref level stride)
     # per-band SMEM tables (3D (1,1,W) blocks: TPU lowering requires the
     # last two block dims to equal the array dims for SMEM)
+    pnrun_ref,         # (1,1,depth) i32 — prologue runs per level
+    prun_ref,          # (1,1,depth*Gp) i32 — level-major run group ids
+    pt0_ref,           # (1,1,depth*Gp) i32 — run first supertile
+    pt1_ref,           # (1,1,depth*Gp) i32 — run last supertile (incl.)
     ngrp_ref,          # (1,1,1) i32 — candidate group count for this band
     order_ref,         # (1,1,Gp) i32 — entry-sorted candidate group ids
     entry_ref,         # (1,1,Gp) f32 — sorted entry distances (inf padded)
     bits_ref,          # (1,1,G) u32 — supertile mask, indexed by GROUP ID
+    sent_ref,          # (1,1,T*Gp) f32 — per-(supertile, group) entry
     # per-band VMEM ray blocks (T, 8, 128)
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
     flags_ref,         # i32: bit0 = active, bit1 = any-hit semantics
+    gk_ref,            # (depth*T, 8, 128) i32 — per-ray level-l entered
+    # group (level-major along dim 0); sentinel >= G when exhausted
     # global SMEM cluster tables
     cab_ref,           # (1, 6C) f32 world AABBs
     cnt_ref,           # (1, C) i32
@@ -100,6 +137,7 @@ def _stream_kernel(
     cap_ref,           # (1,) f32 SMEM: current band cap (max live best-t)
     invx, invy, invz,  # (T, 8, 128) VMEM scratch: per-band reciprocal dirs
     emask,             # (T, 8, 128) i32 VMEM scratch: refine's enter masks
+    caps,              # (T,) f32 SMEM: per-supertile running best-t caps
 ):
     t_out[...] = tmax_ref[...]
     tri_out[...] = jnp.full(tri_out.shape, -1, jnp.int32)
@@ -124,8 +162,6 @@ def _stream_kernel(
         )
         return jnp.max(jnp.where(live, t_out[...], t_min))
 
-    cap_ref[0] = band_cap()
-
     def _supertile_enter(cid, j):
         """(8,128) cluster world-AABB slab for supertile j, tf bounded by
         each live ray's current best."""
@@ -147,13 +183,19 @@ def _stream_kernel(
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
         return (tn <= tf) & live
 
-    def _refine_word(cid, word):
+    def _refine_word(cid, word, g):
         """Drop supertile bits whose rays don't enter cluster `cid`'s own
         AABB (the group word is the union over 8 members) — BEFORE the
         DMA, so members with no entering supertile skip HBM entirely.
+        Each bit is first screened against the per-supertile running cap
+        (sent_ref holds the supertile's entry into group g): after the
+        dense prologue most supertiles' caps sit below every remaining
+        entry, so the (8,128) slab work is skipped wholesale.
         Surviving supertiles' enter masks are stashed in `emask` for the
         triangle pass (valid because processing follows refinement for
         the same cluster in single-buffered mode)."""
+        gp_w = order_ref.shape[2]
+
         def cond(c):
             return c[0] != jnp.uint32(0)
 
@@ -161,10 +203,15 @@ def _stream_kernel(
             w, out = c
             lsb = w & (jnp.uint32(0) - w)
             j = _ctz32(w)
-            ent = _supertile_enter(cid, j)
-            emask[j] = ent.astype(jnp.int32)
-            hit = jnp.any(ent)
-            out = out | jnp.where(hit, lsb, jnp.uint32(0))
+            pend[3] = jnp.int32(0)
+
+            @pl.when(sent_ref[0, 0, j * gp_w + g] <= caps[j])
+            def _screen():
+                ent = _supertile_enter(cid, j)
+                emask[j] = ent.astype(jnp.int32)
+                pend[3] = jnp.any(ent).astype(jnp.int32)
+
+            out = out | jnp.where(pend[3] > 0, lsb, jnp.uint32(0))
             return w & (w - jnp.uint32(1)), out
 
         return jax.lax.while_loop(cond, body, (word, jnp.uint32(0)))[1]
@@ -286,6 +333,15 @@ def _stream_kernel(
                     u_out[j, r : r + 1, :] = best_u
                     v_out[j, r : r + 1, :] = best_v
 
+            # Tighten the supertile's running cap with the new bests so the
+            # per-(supertile, group) screen prunes later candidates.
+            fl8 = flags_ref[j]
+            tri_new = tri_out[j]
+            live8 = ((fl8 & _FLAG_ACT) > 0) & (
+                ((fl8 & _FLAG_ANYHIT) == 0) | (tri_new < 0)
+            )
+            caps[j] = jnp.max(jnp.where(live8, t_out[j], t_min))
+
     def _process_cluster(cid, slot, word, use_emask=False):
         """Visit every supertile whose mask bit is set (ctz loop)."""
         def cond(w):
@@ -298,6 +354,93 @@ def _stream_kernel(
 
         jax.lax.while_loop(cond, body, word)
 
+    # --- Phase A: dense prologue ------------------------------------------
+    # The payload sort keyed on (first, second[, third]) entered groups made
+    # each ray's level-l group row-contiguous; the per-band run tables list
+    # the distinct level-l groups with their supertile spans.  Processing
+    # them here, front-to-back per ray (level order = per-ray entry order),
+    # runs MT on ~full 128-lane rows and seeds tight per-ray best-t bounds
+    # before the band candidate loop — the slab tf bound then terminates
+    # most rays without union-mask work.  Phase B's tables exclude these
+    # per-ray groups, so nothing is visited twice on the same ray's behalf.
+    def _mine_enter(l, g, cid, t):
+        """(8,128): rays of supertile t whose level-l group is `g` that
+        enter member cluster `cid` before their current best."""
+        mine = gk_ref[l * tiles + t] == g
+        fl = flags_ref[t]
+        tri8 = tri_out[t]
+        live = ((fl & _FLAG_ACT) > 0) & (
+            ((fl & _FLAG_ANYHIT) == 0) | (tri8 < 0)
+        )
+        keep = mine & live
+        o8 = (ox_ref[t], oy_ref[t], oz_ref[t])
+        inv8 = (invx[t], invy[t], invz[t])
+        tn = jnp.full((SUPER_ROWS, 128), t_min, jnp.float32)
+        tf = jnp.where(keep, t_out[t], t_min)
+        o6 = 6 * cid
+        for ax in range(3):
+            s0 = (cab_ref[0, o6 + ax] - o8[ax]) * inv8[ax]
+            s1 = (cab_ref[0, o6 + 3 + ax] - o8[ax]) * inv8[ax]
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+        return (tn <= tf) & keep
+
+    for l in range(depth):
+        nr = pnrun_ref[0, 0, l]
+
+        def prologue_run(i, _, l=l):
+            g = prun_ref[0, 0, l * order_ref.shape[2] + i]
+            ts0 = pt0_ref[0, 0, l * order_ref.shape[2] + i]
+            ts1 = pt1_ref[0, 0, l * order_ref.shape[2] + i]
+            for m in range(GROUP_SIZE):
+                cid = g * GROUP_SIZE + m
+
+                @pl.when(cnt_ref[0, cid] > 0)
+                def _m(cid=cid, l=l, g=g, ts0=ts0, ts1=ts1):
+                    def rbody(c):
+                        t, anyf = c
+                        ent8 = _mine_enter(l, g, cid, t)
+                        emask[t] = ent8.astype(jnp.int32)
+                        return t + 1, anyf | jnp.any(ent8).astype(jnp.int32)
+
+                    _, anyf = jax.lax.while_loop(
+                        lambda c: c[0] <= ts1, rbody, (ts0, jnp.int32(0))
+                    )
+
+                    @pl.when(anyf > 0)
+                    def _go():
+                        pltpu.make_async_copy(
+                            tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+                        ).start()
+                        pltpu.make_async_copy(
+                            tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
+                        ).wait()
+
+                        def pbody(t):
+                            @pl.when(jnp.any(emask[t] > 0))
+                            def _tile():
+                                _process_supertile(cid, 0, t, use_emask=True)
+                            return t + 1
+
+                        jax.lax.while_loop(lambda t: t <= ts1, pbody, ts0)
+            return 0
+
+        jax.lax.fori_loop(0, nr, prologue_run, 0)
+
+    # Per-supertile caps: the finest-grained front-to-back bound.  With the
+    # prologue's hits in t_out, most supertiles' caps drop below their
+    # remaining candidates' entries, so phase B's refine screen skips them
+    # without touching the (8,128) slab units.
+    for t in range(tiles):
+        fl_t = flags_ref[t]
+        tri_t = tri_out[t]
+        live_t = ((fl_t & _FLAG_ACT) > 0) & (
+            ((fl_t & _FLAG_ANYHIT) == 0) | (tri_t < 0)
+        )
+        caps[t] = jnp.max(jnp.where(live_t, t_out[t], t_min))
+
+    cap_ref[0] = band_cap()
+
     # --- member-cluster DMA stream ------------------------------------------
     # PIPELINED mode overlaps the previous cluster's triangle math with the
     # next DMA (exactly one in flight); SINGLE mode does start+wait+process
@@ -309,9 +452,9 @@ def _stream_kernel(
     pend[1] = jnp.int32(0)
     pword[0] = jnp.uint32(0)
 
-    def _enqueue(cid, word):
+    def _enqueue(cid, word, g):
         if not pipelined:
-            w2 = _refine_word(cid, word)
+            w2 = _refine_word(cid, word, g)
 
             @pl.when(w2 != jnp.uint32(0))
             def _hit():
@@ -363,7 +506,7 @@ def _stream_kernel(
 
             @pl.when((cnt_ref[0, cid] > 0) & (word != jnp.uint32(0)))
             def _m(cid=cid):
-                _enqueue(cid, word)
+                _enqueue(cid, word, g)
 
         cap_ref[0] = band_cap()
         gi2 = gi + 1
@@ -388,10 +531,15 @@ def _stream_kernel(
     jax.jit, static_argnames=("t_min", "interpret")
 )
 def stream_pallas(
+    pnrun,          # (B, depth) i32 — prologue runs per level
+    prun,           # (B, depth*Gp) i32 — level-major run group ids
+    pt0, pt1,       # (B, depth*Gp) i32 — run supertile spans
+    gk,             # (B, depth*T, 8, 128) i32 — per-ray level groups
     ngrp,           # (B,) i32
     order,          # (B, Gp) i32
     entry_sorted,   # (B, Gp) f32
     bits,           # (B, G) uint32
+    sent,           # (B, T*Gp) f32 — per-(supertile, group) entry
     ox, oy, oz,     # (B, T, 8, 128) f32
     dx, dy, dz,
     tmax,           # (B, T, 8, 128) f32
@@ -411,10 +559,18 @@ def stream_pallas(
     rows = tris_rk.shape[1]
     sub = rows - N_SUB
     instanced = n_inst > 1
+    depth = pnrun.shape[1]
+    assert prun.shape[1] == depth * gp and gk.shape[1] == depth * t
 
-    kernel = functools.partial(_stream_kernel, t_min, sub, instanced, _PIPELINED)
+    kernel = functools.partial(
+        _stream_kernel, t_min, sub, instanced, _PIPELINED, depth, t
+    )
     ray_spec = pl.BlockSpec(
         (None, t, SUPER_ROWS, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    gk_spec = pl.BlockSpec(
+        (None, depth * t, SUPER_ROWS, 128), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     shape4 = jax.ShapeDtypeStruct((b, t, SUPER_ROWS, 128), jnp.float32)
     shape4i = jax.ShapeDtypeStruct((b, t, SUPER_ROWS, 128), jnp.int32)
@@ -429,14 +585,20 @@ def stream_pallas(
         kernel,
         grid=(b,),
         in_specs=[
+            smem_band(depth),        # pnrun
+            smem_band(depth * gp),   # prun
+            smem_band(depth * gp),   # pt0
+            smem_band(depth * gp),   # pt1
             smem_band(1),      # ngrp
             smem_band(gp),     # order
             smem_band(gp),     # entry
             smem_band(g),      # bits
+            smem_band(t * gp),  # sent
             ray_spec, ray_spec, ray_spec,   # o
             ray_spec, ray_spec, ray_spec,   # d
             ray_spec,          # tmax
             ray_spec,          # flags
+            gk_spec,           # gk
             smem_glob(6 * c),  # cab
             smem_glob(c),      # cnt
             smem_glob(c),      # base
@@ -457,15 +619,21 @@ def stream_pallas(
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.int32),
+            pltpu.SMEM((t,), jnp.float32),
         ],
         interpret=interpret,
     )(
+        pnrun.reshape(b, 1, depth),
+        prun.reshape(b, 1, depth * gp),
+        pt0.reshape(b, 1, depth * gp),
+        pt1.reshape(b, 1, depth * gp),
         ngrp.reshape(b, 1, 1),
         order.reshape(b, 1, gp),
         entry_sorted.reshape(b, 1, gp),
         bits.reshape(b, 1, g),
+        sent.reshape(b, 1, t * gp),
         ox, oy, oz, dx, dy, dz,
-        tmax, flags,
+        tmax, flags, gk,
         cluster_aabbs.reshape(1, 6 * c),
         cnt.reshape(1, c), base.reshape(1, c), block_id.reshape(1, c),
         inst.reshape(1, c),
@@ -541,7 +709,17 @@ def intersect_stream(
         [cl.group_max, jnp.full((g_padded - g, 3), 3e9, jnp.float32)]
     ).T
 
-    # ---- sort keys: (first, second) entered group per ray -----------------
+    # ---- sort keys: first PROLOGUE entered groups per ray -----------------
+    # The key is the base-(gp+1) packing of the ray's first `depth` entered
+    # group ids in entry order, so the payload sort leaves each level's
+    # groups row-contiguous and the kernel's dense prologue can recover
+    # them with two integer divides.  Sentinel component = gp (no entry /
+    # inactive), which sorts last and matches no run table entry.
+    gp1 = g_padded + 1
+    depth = PROLOGUE
+    if depth == 3 and gp1 ** 3 >= 2 ** 31:
+        depth = 2
+
     n_pk = n // PACKET_SIZE
     tn0, tf0 = _slab_tn_tf(
         origin.reshape(n_pk, PACKET_SIZE, 3),
@@ -549,38 +727,89 @@ def intersect_stream(
         tmax_arr.reshape(n_pk, PACKET_SIZE), gmin_pad, gmax_pad, t_min,
     )
     ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
-    first = jnp.argmin(ent, axis=1).astype(jnp.int32)
-    v1 = jnp.min(ent, axis=1)
     sentinel = jnp.int32(g_padded)
     ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
-    ent2 = jnp.where(ids_row == first[:, None], jnp.inf, ent)
-    second = jnp.argmin(ent2, axis=1).astype(jnp.int32)
-    v2 = jnp.min(ent2, axis=1)
-    first = jnp.where(jnp.isfinite(v1), first, sentinel)
-    second = jnp.where(jnp.isfinite(v2), second, sentinel)
-    key = first * (g_padded + 1) + second
-    key = jnp.where(active, key, jnp.int32(1 << 30))
+    levels = []
+    rem = ent
+    for _ in range(max(depth, 2)):
+        gl = jnp.argmin(rem, axis=1).astype(jnp.int32)
+        vl = jnp.min(rem, axis=1)
+        levels.append(jnp.where(jnp.isfinite(vl), gl, sentinel))
+        rem = jnp.where(ids_row == gl[:, None], jnp.inf, rem)
+    key = levels[0]
+    for gl in levels[1:depth] if depth >= 2 else levels[1:2]:
+        key = key * gp1 + gl
+    key = jnp.where(active, key, jnp.int32(gp1 ** max(depth, 2) - 1))
 
     flags = active.astype(jnp.int32) + anyhit.astype(jnp.int32) * 2
     lane = jax.lax.iota(jnp.int32, n)
-    (_, lane_key, ox, oy, oz, dxs, dys, dzs, tmax_s, flags_s) = jax.lax.sort(
+    (key_s, lane_key, ox, oy, oz, dxs, dys, dzs, tmax_s, flags_s) = jax.lax.sort(
         (key, lane, origin[:, 0], origin[:, 1], origin[:, 2],
          direction[:, 0], direction[:, 1], direction[:, 2],
          tmax_arr, flags),
         num_keys=1, is_stable=True,
     )
 
-    # ---- post-sort cull: per-supertile group masks + band tables ----------
-    n_st = n // (SUPER_ROWS * 128)       # supertiles
+    # ---- prologue tables: unpack per-ray level groups from the sorted key,
+    # build per-band (distinct group, supertile span) run lists ------------
+    key_levels = max(depth, 2)
+    comps = []
+    kk = key_s
+    for l in range(key_levels - 1, 0, -1):
+        div = kk // gp1
+        comps.append(kk - div * gp1)
+        kk = div
+    comps.append(kk)
+    comps.reverse()          # comps[0] = first entered group, ...
+    lvl_s = comps[:depth]
+
     b = n // band                        # bands
+    si_band = (jnp.arange(band, dtype=jnp.int32) // (SUPER_ROWS * 128))[None, :]
+    BIG_I = jnp.int32(1 << 30)
+    gid_b = jnp.broadcast_to(
+        jnp.arange(g_padded, dtype=jnp.int32)[None, :], (b, g_padded)
+    )
+    real_g = (jnp.arange(g_padded, dtype=jnp.int32) < g)[None, :]
+    pnr, prs, pt0s, pt1s = [], [], [], []
+    for lvl in lvl_s:
+        vb = lvl.reshape(b, band)
+        eq = vb[:, :, None] == ids_row[None]              # (B, band, Gp)
+        cntg = jnp.sum(eq, axis=1)
+        smin = jnp.min(jnp.where(eq, si_band[:, :, None], BIG_I), axis=1)
+        smax = jnp.max(jnp.where(eq, si_band[:, :, None], -1), axis=1)
+        present = (cntg > 0) & real_g
+        runkey = jnp.where(present, gid_b, BIG_I)
+        rg, t0v, t1v = jax.lax.sort(
+            (runkey, smin.astype(jnp.int32), smax.astype(jnp.int32)),
+            dimension=1, num_keys=1,
+        )
+        pnr.append(jnp.sum(present, axis=1).astype(jnp.int32))
+        prs.append(rg)
+        pt0s.append(t0v)
+        pt1s.append(t1v)
+    pnrun = jnp.stack(pnr, axis=1)
+    prun = jnp.concatenate(prs, axis=1)
+    pt0 = jnp.concatenate(pt0s, axis=1)
+    pt1 = jnp.concatenate(pt1s, axis=1)
+    gk = jnp.concatenate(
+        [lvl.reshape(b, tiles_pb, SUPER_ROWS, 128) for lvl in lvl_s], axis=1
+    )
+
+    # ---- post-sort cull: per-supertile group masks + band tables ----------
+    # Prologue (ray, group) incidences are excluded so phase B never
+    # re-visits a group on behalf of a ray that already tested it densely.
+    n_st = n // (SUPER_ROWS * 128)       # supertiles
     o_s = jnp.stack([ox, oy, oz], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
     d_s = jnp.stack([dxs, dys, dzs], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
     act_s = (flags_s & 1) > 0
     tm_eff = jnp.where(act_s, tmax_s, jnp.float32(t_min)).reshape(
         n_st, SUPER_ROWS * 128
     )
+    ex = jnp.zeros((n, g_padded), bool)
+    for lvl in lvl_s:
+        ex = ex | (ids_row == lvl[:, None])
     tns, tfs = _slab_tn_tf(o_s, d_s, tm_eff, gmin_pad, gmax_pad, t_min)
-    enter_st = tns <= tfs                                   # (S, 1024, Gp)
+    enter_st = (tns <= tfs) & ~ex.reshape(n_st, SUPER_ROWS * 128, g_padded)
     st_any = jnp.any(enter_st, axis=1)                      # (S, Gp)
     st_entry = jnp.min(jnp.where(enter_st, tns, jnp.inf), axis=1)  # (S, Gp)
 
@@ -594,6 +823,7 @@ def intersect_stream(
     entry_bg = jnp.min(
         st_entry.reshape(b, tiles_pb, g_padded), axis=1
     )  # (B, Gp)
+    sent = st_entry.reshape(b, tiles_pb * g_padded)  # (B, T*Gp) per-supertile
     gids = jnp.broadcast_to(
         jnp.arange(g_padded, dtype=jnp.int32)[None, :], (b, g_padded)
     )
@@ -602,7 +832,8 @@ def intersect_stream(
 
     shape4 = (b, tiles_pb, SUPER_ROWS, 128)
     bt, btri, bu, bv = stream_pallas(
-        ngrp, order, entry_sorted, bits[:, :g],
+        pnrun, prun, pt0, pt1, gk,
+        ngrp, order, entry_sorted, bits[:, :g], sent,
         ox.reshape(shape4), oy.reshape(shape4), oz.reshape(shape4),
         dxs.reshape(shape4), dys.reshape(shape4), dzs.reshape(shape4),
         tmax_s.reshape(shape4), flags_s.reshape(shape4),

@@ -36,7 +36,7 @@ from vpt_tpu.accel import traverse
 from vpt_tpu.render.params import RenderFlags, RenderParams
 
 
-_TRACE_MODE = os.environ.get("VPT_TRACE", "stream")  # stream | packet
+_TRACE_MODE = os.environ.get("VPT_TRACE", "stream")  # conveyor | rounds | stream | packet
 
 
 def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
@@ -65,11 +65,25 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
     n = origin.shape[0]
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas and _TRACE_MODE == "stream":
-        from vpt_tpu.accel.stream import intersect_stream
-
+    if use_pallas and _TRACE_MODE in ("stream", "rounds", "conveyor"):
         if anyhit_mask is None and any_hit:
             anyhit_mask = jnp.ones(n, bool)
+        if _TRACE_MODE == "conveyor":
+            from vpt_tpu.accel.conveyor import intersect_conveyor
+
+            return intersect_conveyor(
+                origin, direction, scene.clusters, t_min, tmax_arr,
+                active=active, anyhit=anyhit_mask,
+            )
+        if _TRACE_MODE == "rounds":
+            from vpt_tpu.accel.rounds import intersect_rounds
+
+            return intersect_rounds(
+                origin, direction, scene.clusters, t_min, tmax_arr,
+                active=active, anyhit=anyhit_mask,
+            )
+        from vpt_tpu.accel.stream import intersect_stream
+
         return intersect_stream(
             origin, direction, scene.clusters, t_min, tmax_arr,
             active=active, anyhit=anyhit_mask,
