@@ -64,6 +64,7 @@ def _assert_hits_equal(a, b, tie_tol=1e-5):
     )
 
 
+@pytest.mark.slow
 def test_conveyor_matches_xla_random():
     p0, e1, e2, cl, rng = _scene(600, 20)
     org, d = _rays(rng, 256)
@@ -78,6 +79,7 @@ def test_conveyor_matches_xla_random():
     )
 
 
+@pytest.mark.slow
 def test_conveyor_anyhit_and_dead_lanes():
     _, _, _, cl, rng = _scene(400, 7)
     org, d = _rays(rng, 1024 + 256)   # non-multiple of 1024: padding path

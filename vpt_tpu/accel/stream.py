@@ -74,7 +74,11 @@ _PIPELINED = os.environ.get("VPT_STREAM_PIPELINE", "0") == "1"
 # with ~full 128-lane MT occupancy BEFORE the band candidate loop, and are
 # excluded from the band tables.  1..3; 3 needs (gp+1)^3 < 2^31.
 PROLOGUE = max(1, min(3, int(os.environ.get("VPT_PROLOGUE", "2"))))
-SUPER_ROWS = 8          # rows per supertile -> (8, 128) = 1024 rays
+# Rows per supertile: (SUPER_ROWS, 128) rays share one visit's scalar
+# orchestration (~3 us) — bigger supertiles amortize it over more rays at
+# the cost of a wider candidate union (lower MT fill).  Env-tunable for
+# sweeps; 8 = one f32 vreg per block row.
+SUPER_ROWS = int(os.environ.get("VPT_SUPER_ROWS", "8"))
 TILES_PER_BAND = 32     # supertiles per band (= bits of the uint32 mask)
 BAND = TILES_PER_BAND * SUPER_ROWS * 128  # 32768 rays
 
