@@ -146,6 +146,21 @@ def cmd_bake_lookups(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from vpt_tpu.api import Renderer
+    from vpt_tpu.render.params import RenderFlags
+    from vpt_tpu.viewer import TerminalViewer
+
+    scene = _load_scene(args.scene)
+    r = Renderer(
+        scene, width=args.size, height=args.size,
+        flags=RenderFlags(max_depth=args.depth),
+        samples_per_frame=args.spp_per_frame, max_samples=args.spp,
+    )
+    TerminalViewer(r, cols=args.cols).run()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vpt_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +203,17 @@ def main(argv=None) -> int:
     pl = sub.add_parser("bake-lookups", help="bake energy-compensation tables")
     pl.add_argument("--samples", type=int, default=4096)
     pl.set_defaults(fn=cmd_bake_lookups)
+
+    pv = sub.add_parser(
+        "view", help="interactive terminal viewer (progressive + fly camera)"
+    )
+    pv.add_argument("scene", help="glTF path or builtin: cornell, garden, ...")
+    pv.add_argument("--size", type=int, default=128, help="render resolution")
+    pv.add_argument("--cols", type=int, default=100, help="terminal columns")
+    pv.add_argument("--spp", type=int, default=512, help="sample budget")
+    pv.add_argument("--spp-per-frame", type=int, default=1)
+    pv.add_argument("--depth", type=int, default=6)
+    pv.set_defaults(fn=cmd_view)
 
     args = p.parse_args(argv)
     return args.fn(args)
