@@ -109,8 +109,10 @@ def stats(name, origin, direction, cl):
     print(f"  supertile visits per band:      mean {st_visits.mean():.1f}")
     print(f"  row visits per band (pre-slab): mean {row_visits.mean():.1f}")
     dma_us = live_members.sum() * 3.0
+    gdma_us = band_groups[:, :g].sum() * 3.0
     mt_us = row_visits.sum() * 8 * 32 * 128 * 40 / 4e12 * 1e6
-    print(f"  time model: DMA latency @3us = {dma_us/1e3:.2f} ms; "
+    print(f"  time model: member DMA latency @3us = {dma_us/1e3:.2f} ms; "
+          f"GROUP DMA latency (one copy per candidate group) = {gdma_us/1e3:.2f} ms; "
           f"MT rows (8 subs) @4TF/s = {mt_us/1e3:.2f} ms per trace")
 
 

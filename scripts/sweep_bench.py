@@ -13,8 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = [
     ("rows16", {"VPT_SUPER_ROWS": "16"}),
     ("rows4", {"VPT_SUPER_ROWS": "4"}),
-    ("prologue1", {"VPT_PROLOGUE": "1"}),
-    ("rows16-prologue1", {"VPT_SUPER_ROWS": "16", "VPT_PROLOGUE": "1"}),
+    ("rows32", {"VPT_SUPER_ROWS": "32"}),
 ]
 
 

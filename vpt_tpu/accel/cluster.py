@@ -73,6 +73,13 @@ class ClusterData(NamedTuple):
     count: jnp.ndarray  # (C,) i32 — triangles in the cluster (<= K)
     block_id: jnp.ndarray  # (C,) i32 — row of tris/tris_rk holding the
     # cluster's (mesh-local) triangle block; instances of one mesh share rows
+    group_blk0: jnp.ndarray  # (G,) i32 — block row of each group's FIRST
+    # real member.  A group's real members occupy CONSECUTIVE tris_rk rows
+    # starting there (slot m ↔ row group_blk0+m; padded slots trail), so the
+    # stream kernel fetches a whole candidate group with ONE async copy of
+    # GROUP_SIZE blocks instead of up to GROUP_SIZE start+wait latencies.
+    # tris_rk carries GROUP_SIZE-1 trailing zero blocks so the fixed-size
+    # copy never overruns.
     inst: jnp.ndarray  # (C,) i32 — owning instance (transform table row)
     inv_rows: jnp.ndarray  # (n_inst, 12) f32 — world→local affine per
     # instance, row-major [R00 R01 R02 T0  R10 R11 R12 T1  R20 R21 R22 T2]
@@ -115,18 +122,18 @@ class MeshClusters(NamedTuple):
     count: np.ndarray  # (Cm,) i32
     tris: np.ndarray  # (Cm, 16, K) fallback blocks (local)
     tris_rk: np.ndarray  # (Cm, K/8 + 8, 128) kernel blocks (local)
+    gidx: np.ndarray  # (Cm,) i32 — group (BVH subtree) index; clusters of
+    # one group are DFS-contiguous and assemble_clusters pads each
+    # (instance, group) to exactly GROUP_SIZE slots
 
 
-def _cut_ranges(bvh: FlatBVH, cluster_size: int):
-    """Cut the BVH into subtree clusters of <= cluster_size triangles and
-    greedily merge adjacent cuts; returns [(lo, hi, aabb_min, aabb_max)]."""
+def _subtree_lohi(bvh: FlatBVH):
+    """Subtree triangle ranges [lo, hi): reverse-index sweep (children have
+    larger indices in DFS pre-order; right child of inner i is skip[i+1])."""
     n_nodes = bvh.n_nodes
     count = bvh.tri_count
     first = bvh.first_tri
     skip = bvh.skip
-
-    # Subtree triangle ranges [lo, hi): reverse-index sweep (children have
-    # larger indices in DFS pre-order; right child of inner i is skip[i+1]).
     lo = np.zeros(n_nodes, np.int64)
     hi = np.zeros(n_nodes, np.int64)
     for i in range(n_nodes - 1, -1, -1):
@@ -137,41 +144,62 @@ def _cut_ranges(bvh: FlatBVH, cluster_size: int):
             right = skip[i + 1]
             lo[i] = lo[i + 1]
             hi[i] = hi[right]
+    return lo, hi
 
-    cut_nodes = []
-    stack = [0]
+
+def _subtree_cuts(bvh: FlatBVH, root: int, max_tris: int, lo, hi):
+    """DFS-ordered subtree nodes under `root` with <= max_tris each."""
+    out = []
+    stack = [root]
     while stack:
         i = stack.pop()
-        if hi[i] - lo[i] <= cluster_size:
-            cut_nodes.append(i)
+        if hi[i] - lo[i] <= max_tris:
+            out.append(i)
         else:
             stack.append(i + 1)
-            stack.append(skip[i + 1])
-    cut_nodes.sort(key=lambda i: lo[i])
+            stack.append(bvh.skip[i + 1])
+    out.sort(key=lambda i: lo[i])
+    return out
 
-    # Greedily merge adjacent cuts (contiguous in DFS order, so still one
-    # dense slice) up to the cluster width — raises average fill from ~40%
-    # to ~95%, so the visit kernel's fixed-width triangle tests do useful
-    # work on nearly every lane.  AABBs are unions of merged cuts; DFS
-    # locality keeps them tight.
+
+def _cut_ranges(bvh: FlatBVH, cluster_size: int, group_size: int = GROUP_SIZE):
+    """Two-level cut: the BVH is first cut into GROUP subtrees of
+    <= group_size*cluster_size triangles, then each group subtree into
+    clusters of <= cluster_size (greedily merged).  Returns a list of
+    groups, each a list of (lo, hi, aabb_min, aabb_max) with at most
+    group_size entries — so every group's member clusters share one BVH
+    subtree and the group AABB (union of members) stays tight.  (The
+    previous single-level cut let groups straddle arbitrary subtree — and,
+    instanced, instance — boundaries; their union boxes were the dominant
+    source of spurious (ray, group) incidences in the stream cull.)"""
+    lo, hi = _subtree_lohi(bvh)
+
+    # Only merge when the union box stays tight — a loose union makes
+    # every nearby packet visit the cluster, costing more than the
+    # fill it saves.  (Measured: unconditional merging regresses ~25%.)
     def _area(mn, mx):
         d = np.maximum(mx - mn, 0.0)
         return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
-    ranges = []  # (lo, hi, aabb_min, aabb_max)
-    for i in cut_nodes:
-        if ranges and (hi[i] - ranges[-1][0]) <= cluster_size:
-            plo, phi, pmn, pmx = ranges[-1]
-            mmn = np.minimum(pmn, bvh.aabb_min[i])
-            mmx = np.maximum(pmx, bvh.aabb_max[i])
-            # Only merge when the union box stays tight — a loose union makes
-            # every nearby packet visit the cluster, costing more than the
-            # fill it saves.  (Measured: unconditional merging regresses ~25%.)
-            if _area(mmn, mmx) <= 1.05 * (_area(pmn, pmx) + _area(bvh.aabb_min[i], bvh.aabb_max[i])):
-                ranges[-1] = (plo, hi[i], mmn, mmx)
-                continue
-        ranges.append((lo[i], hi[i], bvh.aabb_min[i].copy(), bvh.aabb_max[i].copy()))
-    return ranges
+    groups = []
+    for gnode in _subtree_cuts(bvh, 0, cluster_size * group_size, lo, hi):
+        ranges = []  # (lo, hi, aabb_min, aabb_max) within this group subtree
+        for i in _subtree_cuts(bvh, gnode, cluster_size, lo, hi):
+            if ranges and (hi[i] - ranges[-1][0]) <= cluster_size:
+                plo, phi, pmn, pmx = ranges[-1]
+                mmn = np.minimum(pmn, bvh.aabb_min[i])
+                mmx = np.maximum(pmx, bvh.aabb_max[i])
+                if _area(mmn, mmx) <= 1.05 * (
+                    _area(pmn, pmx) + _area(bvh.aabb_min[i], bvh.aabb_max[i])
+                ):
+                    ranges[-1] = (plo, hi[i], mmn, mmx)
+                    continue
+            ranges.append((lo[i], hi[i], bvh.aabb_min[i].copy(), bvh.aabb_max[i].copy()))
+        # A group subtree can exceed group_size clusters when merging fails
+        # (skinny cuts); chunk it — chunks still share the subtree.
+        for s in range(0, len(ranges), group_size):
+            groups.append(ranges[s : s + group_size])
+    return groups
 
 
 def build_mesh_clusters(
@@ -180,7 +208,11 @@ def build_mesh_clusters(
 ) -> MeshClusters:
     """Per-mesh BLAS: cluster blocks over the *reordered* local triangle
     arrays (bvh.tri_order applied by the caller)."""
-    ranges = _cut_ranges(bvh, cluster_size)
+    groups = _cut_ranges(bvh, cluster_size)
+    ranges = [r for grp in groups for r in grp]
+    gidx = np.array(
+        [gi for gi, grp in enumerate(groups) for _ in grp], np.int32
+    )
     c = len(ranges)
     k = cluster_size
     BIG = 3e9
@@ -236,6 +268,7 @@ def build_mesh_clusters(
     return MeshClusters(
         cmin=cmin, cmax=cmax, start=start, count=cnt,
         tris=np.ascontiguousarray(tris), tris_rk=np.ascontiguousarray(tris_rk),
+        gidx=gidx,
     )
 
 
@@ -270,13 +303,36 @@ def assemble_clusters(
         block_base.append(b)
         b += mc.cmin.shape[0]
 
+    # Every (instance, mesh-group) becomes exactly GROUP_SIZE consecutive
+    # cluster slots (empty pad slots: inverted AABB, zero count — the kernel
+    # skips them at its cnt>0 check) so group g = clusters
+    # [g*GROUP_SIZE, (g+1)*GROUP_SIZE) with no indirection tables, groups
+    # never span instances, and each group's members share one BVH subtree
+    # (tight union box).
+    BIG = 3e9
     cmin_l, cmax_l, start_l, cnt_l, blk_l, inst_l, inv_l = [], [], [], [], [], [], []
+
+    def _pad_group():
+        fill = (-len(cmin_l)) % GROUP_SIZE
+        for _ in range(fill):
+            cmin_l.append(np.full(3, BIG, np.float32))
+            cmax_l.append(np.full(3, -BIG, np.float32))
+            start_l.append(0)
+            cnt_l.append(0)
+            blk_l.append(0)
+            inst_l.append(inst_l[-1] if inst_l else 0)
+
     for ii, (mi, transform, virt_base) in enumerate(instance_specs):
         mc = mesh_clusters[mi]
         m = np.asarray(transform, np.float64)
         inv = np.linalg.inv(m)
         inv_l.append(inv[:3, :4].astype(np.float32).reshape(12))
+        prev_g = None
         for c in range(mc.cmin.shape[0]):
+            gi = int(mc.gidx[c])
+            if prev_g is not None and gi != prev_g:
+                _pad_group()
+            prev_g = gi
             lo, hi = _transform_aabb(mc.cmin[c], mc.cmax[c], m)
             cmin_l.append(lo)
             cmax_l.append(hi)
@@ -284,14 +340,10 @@ def assemble_clusters(
             cnt_l.append(int(mc.count[c]))
             blk_l.append(block_base[mi] + c)
             inst_l.append(ii)
+        _pad_group()
 
-    # Pad the cluster list to an exact multiple of GROUP_SIZE with empty
-    # clusters (inverted AABBs, zero count) so every group is exactly
-    # GROUP_SIZE consecutive clusters — the kernel then maps group g to
-    # clusters [g*GROUP_SIZE, (g+1)*GROUP_SIZE) with no start/count tables.
-    BIG = 3e9
     c = len(cmin_l)
-    c_pad = -(-c // GROUP_SIZE) * GROUP_SIZE
+    c_pad = -(-max(c, 1) // GROUP_SIZE) * GROUP_SIZE
     cmin = np.full((c_pad, 3), BIG, np.float32)
     cmax = np.full((c_pad, 3), -BIG, np.float32)
     start = np.zeros(c_pad, np.int32)
@@ -310,6 +362,10 @@ def assemble_clusters(
     group_min = cmin.reshape(g, GROUP_SIZE, 3).min(axis=1)
     group_max = cmax.reshape(g, GROUP_SIZE, 3).max(axis=1)
 
+    tris_rk_all = np.concatenate(
+        [mc.tris_rk for mc in mesh_clusters]
+        + [np.zeros((GROUP_SIZE - 1,) + mesh_clusters[0].tris_rk.shape[1:], np.float32)]
+    )
     return ClusterData(
         aabb_min=jnp.asarray(cmin),
         aabb_max=jnp.asarray(cmax),
@@ -319,10 +375,11 @@ def assemble_clusters(
         start=jnp.asarray(start),
         count=jnp.asarray(cnt),
         block_id=jnp.asarray(blk),
+        group_blk0=jnp.asarray(blk[::GROUP_SIZE].copy()),
         inst=jnp.asarray(inst),
         inv_rows=jnp.asarray(np.stack(inv_l)),
         tris=jnp.asarray(np.concatenate([mc.tris for mc in mesh_clusters])),
-        tris_rk=jnp.asarray(np.concatenate([mc.tris_rk for mc in mesh_clusters])),
+        tris_rk=jnp.asarray(tris_rk_all),
     )
 
 

@@ -16,9 +16,14 @@ that actually enter it:
        band, plus per-band entry-sorted candidate group lists,
   kernel (grid = bands):
     for each candidate group (front-to-back, until entry > band cap):
-      for each member cluster: pipelined DMA; for each supertile whose
-      mask bit is set: (8,128) slab refinement -> per-row sub-AABB tests
-      -> (K/8, 128) Moller-Trumbore only on rows with live entering rays.
+      ONE fixed-size DMA fetches all GROUP_SIZE member blocks (a group's
+      real members are consecutive tris_rk rows — see
+      ClusterData.group_blk0), then for each member cluster: supertile-
+      word refinement vs its own AABB; for each surviving supertile:
+      (8,128) slab refinement -> batched (8,128) sub-AABB slabs ->
+      (K/8, 128) Moller-Trumbore only on rows with live entering rays,
+      row/sub dispatch driven by scalar bitmask tests (one vector->scalar
+      sync per mask instead of one jnp.any pipeline sync per branch).
 
   Work scales with (ray, cluster) INCIDENCES instead of packet unions, and
   each triangle block moves HBM->VMEM once per band instead of once per
@@ -73,7 +78,10 @@ _PIPELINED = os.environ.get("VPT_STREAM_PIPELINE", "0") == "1"
 # payload sort makes row-contiguous) are processed as per-band run lists
 # with ~full 128-lane MT occupancy BEFORE the band candidate loop, and are
 # excluded from the band tables.  1..3; 3 needs (gp+1)^3 < 2^31.
-PROLOGUE = max(1, min(3, int(os.environ.get("VPT_PROLOGUE", "2"))))
+# 0 disables phase A entirely (empty run tables; the per-supertile caps
+# screen stays on — it is phase-A-independent).  Device sweep on colonnade
+# 512x4: depth0 ~1.2, depth1 1.14, depth2 1.09 M segs/s.
+PROLOGUE = max(0, min(3, int(os.environ.get("VPT_PROLOGUE", "0"))))
 # Rows per supertile: (SUPER_ROWS, 128) rays share one visit's scalar
 # orchestration (~3 us) — bigger supertiles amortize it over more rays at
 # the cost of a wider candidate union (lower MT fill).  Env-tunable for
@@ -130,6 +138,7 @@ def _stream_kernel(
     blk_ref,           # (1, C) i32 block row
     inst_ref,          # (1, C) i32 instance id
     inv_ref,           # (1, 12*n_inst) f32 world->local affines
+    gblk_ref,          # (1, G) i32 — first member's block row per group
     tris_ref,          # HBM (B, K/8 + 8, 128) — manual DMA
     # outputs (T, 8, 128)
     t_out, tri_out, u_out, v_out,
@@ -142,6 +151,8 @@ def _stream_kernel(
     invx, invy, invz,  # (T, 8, 128) VMEM scratch: per-band reciprocal dirs
     emask,             # (T, 8, 128) i32 VMEM scratch: refine's enter masks
     caps,              # (T,) f32 SMEM: per-supertile running best-t caps
+    gbuf,              # (GROUP_SIZE, K/8 + 8, 128) VMEM: whole-group blocks
+    gsem,              # DMA semaphore for the group copy
 ):
     t_out[...] = tmax_ref[...]
     tri_out[...] = jnp.full(tri_out.shape, -1, jnp.int32)
@@ -177,7 +188,7 @@ def _stream_kernel(
             ((fl & _FLAG_ANYHIT) == 0) | (tri8 < 0)
         )
         inv8 = (invx[j], invy[j], invz[j])
-        tn = jnp.full((8, 128), t_min, jnp.float32)
+        tn = jnp.full((SUPER_ROWS, 128), t_min, jnp.float32)
         tf = jnp.where(live, bt8, t_min)
         o6 = 6 * cid
         for ax in range(3):
@@ -220,21 +231,30 @@ def _stream_kernel(
 
         return jax.lax.while_loop(cond, body, (word, jnp.uint32(0)))[1]
 
-    def _process_supertile(cid, slot, j, use_emask=False):
+    def _process_supertile(cid, src, sidx, j, use_emask=False):
         """Run per-row sub-AABB + MT on rows entering cluster `cid` (block
-        in buf[slot])."""
+        in src[sidx] — buf slot or gbuf member row)."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
         d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
-        bt8 = t_out[j]
-        tri8 = tri_out[j]
         enter = emask[j] > 0 if use_emask else _supertile_enter(cid, j)
 
-        @pl.when(jnp.any(enter))
+        # One vector->scalar sync yields a row bitmask (bit r = any lane of
+        # row r enters); the row loop then branches on cheap scalar bit
+        # tests instead of SUPER_ROWS separate jnp.any pipeline syncs.
+        rw = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 128), 0)
+        rbits = jnp.sum(
+            jnp.max(
+                jnp.where(enter, jnp.int32(1) << rw, jnp.int32(0)),
+                axis=1, keepdims=True,
+            )
+        )
+
+        @pl.when(rbits != 0)
         def _go():
             cnt = cnt_ref[0, cid]
             base = base_ref[0, cid]
-            blk = buf[slot]
-            meta = buf[slot, sub : sub + N_SUB]  # (8,128): row s lanes 0:6 AABB
+            blk = src[sidx]
+            meta = src[sidx, sub : sub + N_SUB]  # (8,128): row s lanes 0:6 AABB
 
             # Instancing: mesh-local rays; direction left unnormalized so t
             # stays world-parametric (best-t merging across instances exact).
@@ -255,87 +275,109 @@ def _stream_kernel(
                 ldx, ldy, ldz = d8
                 linv_x, linv_y, linv_z = invx[j], invy[j], invz[j]
 
+            sw = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, 128), 0)
             for r in range(SUPER_ROWS):
                 er = enter[r : r + 1, :]  # (1, 128)
 
-                @pl.when(jnp.any(er))
+                @pl.when(((rbits >> r) & 1) != 0)
                 def _row(r=r, er=er):
                     ro = (lox[r : r + 1], loy[r : r + 1], loz[r : r + 1])
                     rd = (ldx[r : r + 1], ldy[r : r + 1], ldz[r : r + 1])
                     ri = (linv_x[r : r + 1], linv_y[r : r + 1], linv_z[r : r + 1])
-                    bt = bt8[r : r + 1, :]
-                    # Row-best candidates over the 8 sub-blocks
-                    best_t = bt
-                    best_tri = tri8[r : r + 1, :]
-                    best_u = u_out[j, r : r + 1, :]
-                    best_v = v_out[j, r : r + 1, :]
+                    # ALL 8 sub-AABB slabs of this row at once: meta's rows
+                    # are the sub-blocks, so (8,1) box columns against the
+                    # (1,128) ray row give every sub's interval in one
+                    # (8,128) op per axis instead of 8 scalar-sliced passes.
+                    bt0 = t_out[j, r : r + 1, :]
+                    stn = jnp.full((N_SUB, 128), t_min, jnp.float32)
+                    stf = jnp.where(er, bt0, t_min)
+                    for ax in range(3):
+                        lo = meta[:, ax : ax + 1]          # (8, 1)
+                        hi = meta[:, 3 + ax : 4 + ax]
+                        s0 = (lo - ro[ax]) * ri[ax]
+                        s1 = (hi - ro[ax]) * ri[ax]
+                        stn = jnp.maximum(stn, jnp.minimum(s0, s1))
+                        stf = jnp.minimum(stf, jnp.maximum(s0, s1))
+                    sub_enter8 = (stn <= stf) & er         # (8, 128)
+                    sbits = jnp.sum(
+                        jnp.max(
+                            jnp.where(sub_enter8, jnp.int32(1) << sw, jnp.int32(0)),
+                            axis=1, keepdims=True,
+                        )
+                    )
                     for s in range(N_SUB):
-                        # Sub-AABB slab from the DMA'd metadata rows
-                        stn = jnp.full((1, 128), t_min, jnp.float32)
-                        stf = jnp.where(er, best_t, t_min)
-                        for ax in range(3):
-                            lo = meta[s : s + 1, ax : ax + 1]
-                            hi = meta[s : s + 1, 3 + ax : 4 + ax]
-                            s0 = (lo - ro[ax]) * ri[ax]
-                            s1 = (hi - ro[ax]) * ri[ax]
-                            stn = jnp.maximum(stn, jnp.minimum(s0, s1))
-                            stf = jnp.minimum(stf, jnp.maximum(s0, s1))
-                        sub_enter = (stn <= stf) & er
                         c0 = s * 16
 
-                        def col(kk):
-                            return blk[0:sub, c0 + kk : c0 + kk + 1]  # (sub, 1)
+                        # Gate the 32x128 Moller-Trumbore block on any lane
+                        # entering the sub-AABB — a typical entering ray
+                        # passes 2-4 of the 8 sub-boxes, so most blocks skip
+                        # at one scalar bit test of the batched slab mask.
+                        @pl.when(((sbits >> s) & 1) != 0)
+                        def _sub(s=s):
+                            # Bound by the CURRENT row best (re-read per
+                            # sub-block so earlier sub-blocks' hits tighten
+                            # later tests).
+                            bt = t_out[j, r : r + 1, :]
+                            sub_enter = sub_enter8[s : s + 1, :] & (bt >= stn[s : s + 1, :])
+                            def col(kk):
+                                return blk[0:sub, c0 + kk : c0 + kk + 1]  # (sub, 1)
 
-                        # Moller-Trumbore (sub, 128): triangles in sublanes,
-                        # rays in lanes — masked to the entering rows only.
-                        p0x, p0y, p0z = col(0), col(1), col(2)
-                        e1x, e1y, e1z = col(3), col(4), col(5)
-                        e2x, e2y, e2z = col(6), col(7), col(8)
-                        pvx = rd[1] * e2z - rd[2] * e2y
-                        pvy = rd[2] * e2x - rd[0] * e2z
-                        pvz = rd[0] * e2y - rd[1] * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                        tvx = ro[0] - p0x
-                        tvy = ro[1] - p0y
-                        tvz = ro[2] - p0z
-                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        vv = (rd[0] * qvx + rd[1] * qvy + rd[2] * qvz) * inv_det
-                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                        tri_idx = idx0[:sub] + s * sub
-                        valid = (
-                            (jnp.abs(det) > 1e-12)
-                            & (uu >= 0.0)
-                            & (vv >= 0.0)
-                            & (uu + vv <= 1.0)
-                            & (tt > t_min)
-                            & (tt < best_t)
-                            & (tri_idx < cnt)
-                            & sub_enter
-                        )
-                        t_masked = jnp.where(valid, tt, jnp.inf)
-                        t_best = jnp.min(t_masked, axis=0, keepdims=True)
-                        # smallest-index tie-break down sublanes
-                        jj = jnp.min(
-                            jnp.where(t_masked == t_best, idx0[:sub], sub),
-                            axis=0, keepdims=True,
-                        )
-                        pick = idx0[:sub] == jj
-                        u_best = jnp.sum(jnp.where(pick, uu, 0.0), axis=0, keepdims=True)
-                        v_best = jnp.sum(jnp.where(pick, vv, 0.0), axis=0, keepdims=True)
-                        better = t_best < best_t
-                        best_t = jnp.where(better, t_best, best_t)
-                        best_tri = jnp.where(better, base + s * sub + jj, best_tri)
-                        best_u = jnp.where(better, u_best, best_u)
-                        best_v = jnp.where(better, v_best, best_v)
-
-                    t_out[j, r : r + 1, :] = best_t
-                    tri_out[j, r : r + 1, :] = best_tri
-                    u_out[j, r : r + 1, :] = best_u
-                    v_out[j, r : r + 1, :] = best_v
+                            # Moller-Trumbore (sub, 128): triangles in
+                            # sublanes, rays in lanes — masked to the
+                            # entering rows only.
+                            p0x, p0y, p0z = col(0), col(1), col(2)
+                            e1x, e1y, e1z = col(3), col(4), col(5)
+                            e2x, e2y, e2z = col(6), col(7), col(8)
+                            pvx = rd[1] * e2z - rd[2] * e2y
+                            pvy = rd[2] * e2x - rd[0] * e2z
+                            pvz = rd[0] * e2y - rd[1] * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                            tvx = ro[0] - p0x
+                            tvy = ro[1] - p0y
+                            tvz = ro[2] - p0z
+                            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            vv = (rd[0] * qvx + rd[1] * qvy + rd[2] * qvz) * inv_det
+                            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                            tri_idx = idx0[:sub] + s * sub
+                            valid = (
+                                (jnp.abs(det) > 1e-12)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > t_min)
+                                & (tt < bt)
+                                & (tri_idx < cnt)
+                                & sub_enter
+                            )
+                            t_masked = jnp.where(valid, tt, jnp.inf)
+                            t_best = jnp.min(t_masked, axis=0, keepdims=True)
+                            # smallest-index tie-break down sublanes
+                            jj = jnp.min(
+                                jnp.where(t_masked == t_best, idx0[:sub], sub),
+                                axis=0, keepdims=True,
+                            )
+                            pick = idx0[:sub] == jj
+                            u_best = jnp.sum(
+                                jnp.where(pick, uu, 0.0), axis=0, keepdims=True
+                            )
+                            v_best = jnp.sum(
+                                jnp.where(pick, vv, 0.0), axis=0, keepdims=True
+                            )
+                            better = t_best < bt
+                            t_out[j, r : r + 1, :] = jnp.where(better, t_best, bt)
+                            tri_out[j, r : r + 1, :] = jnp.where(
+                                better, base + s * sub + jj, tri_out[j, r : r + 1, :]
+                            )
+                            u_out[j, r : r + 1, :] = jnp.where(
+                                better, u_best, u_out[j, r : r + 1, :]
+                            )
+                            v_out[j, r : r + 1, :] = jnp.where(
+                                better, v_best, v_out[j, r : r + 1, :]
+                            )
 
             # Tighten the supertile's running cap with the new bests so the
             # per-(supertile, group) screen prunes later candidates.
@@ -346,14 +388,14 @@ def _stream_kernel(
             )
             caps[j] = jnp.max(jnp.where(live8, t_out[j], t_min))
 
-    def _process_cluster(cid, slot, word, use_emask=False):
+    def _process_cluster(cid, src, sidx, word, use_emask=False):
         """Visit every supertile whose mask bit is set (ctz loop)."""
         def cond(w):
             return w != jnp.uint32(0)
 
         def body(w):
             j = _ctz32(w)
-            _process_supertile(cid, slot, j, use_emask=use_emask)
+            _process_supertile(cid, src, sidx, j, use_emask=use_emask)
             return w & (w - jnp.uint32(1))
 
         jax.lax.while_loop(cond, body, word)
@@ -423,7 +465,7 @@ def _stream_kernel(
                         def pbody(t):
                             @pl.when(jnp.any(emask[t] > 0))
                             def _tile():
-                                _process_supertile(cid, 0, t, use_emask=True)
+                                _process_supertile(cid, buf, 0, t, use_emask=True)
                             return t + 1
 
                         jax.lax.while_loop(lambda t: t <= ts1, pbody, ts0)
@@ -457,20 +499,7 @@ def _stream_kernel(
     pword[0] = jnp.uint32(0)
 
     def _enqueue(cid, word, g):
-        if not pipelined:
-            w2 = _refine_word(cid, word, g)
-
-            @pl.when(w2 != jnp.uint32(0))
-            def _hit():
-                pltpu.make_async_copy(
-                    tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
-                ).start()
-                pltpu.make_async_copy(
-                    tris_ref.at[blk_ref[0, cid]], buf.at[0], sem.at[0]
-                ).wait()
-                _process_cluster(cid, 0, w2, use_emask=True)
-            return
-
+        """Legacy per-member double-buffered path (VPT_STREAM_PIPELINE=1)."""
         prev = pend[0]
         prev_slot = pend[1]
 
@@ -487,7 +516,7 @@ def _stream_kernel(
             pend[0] = cid
             pend[1] = slot
             pword[0] = word
-            _process_cluster(prev, prev_slot, pw)
+            _process_cluster(prev, buf, prev_slot, pw)
 
         @pl.when(prev < 0)
         def _first():
@@ -505,12 +534,38 @@ def _stream_kernel(
         g = order_ref[0, 0, gi]
         word = bits_ref[0, 0, g]
         c0 = g * GROUP_SIZE
-        for m in range(GROUP_SIZE):
-            cid = c0 + m
 
-            @pl.when((cnt_ref[0, cid] > 0) & (word != jnp.uint32(0)))
-            def _m(cid=cid):
-                _enqueue(cid, word, g)
+        if not pipelined:
+            # ONE fixed-size async copy fetches the whole group's member
+            # blocks (real members are consecutive tris_rk rows from
+            # gblk_ref; trailing zero-pad rows make the fixed size safe) —
+            # one DMA latency per candidate group instead of up to
+            # GROUP_SIZE start+wait stalls.  Member refinement still skips
+            # the slab/MT work of members no surviving supertile enters.
+            @pl.when(word != jnp.uint32(0))
+            def _grp():
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)], gbuf, gsem
+                )
+                cp.start()
+                cp.wait()
+                for m in range(GROUP_SIZE):
+                    cid = c0 + m
+
+                    @pl.when(cnt_ref[0, cid] > 0)
+                    def _m(cid=cid, m=m):
+                        w2 = _refine_word(cid, word, g)
+
+                        @pl.when(w2 != jnp.uint32(0))
+                        def _hit():
+                            _process_cluster(cid, gbuf, m, w2, use_emask=True)
+        else:
+            for m in range(GROUP_SIZE):
+                cid = c0 + m
+
+                @pl.when((cnt_ref[0, cid] > 0) & (word != jnp.uint32(0)))
+                def _m(cid=cid):
+                    _enqueue(cid, word, g)
 
         cap_ref[0] = band_cap()
         gi2 = gi + 1
@@ -528,7 +583,7 @@ def _stream_kernel(
             pltpu.make_async_copy(
                 tris_ref.at[blk_ref[0, last]], buf.at[slot], sem.at[slot]
             ).wait()
-            _process_cluster(last, slot, pword[0])
+            _process_cluster(last, buf, slot, pword[0])
 
 
 @functools.partial(
@@ -551,7 +606,8 @@ def stream_pallas(
     cluster_aabbs,  # (C, 6) f32
     cnt, base, block_id, inst,  # (C,) i32
     inv_rows,       # (n_inst, 12) f32
-    tris_rk,        # (Bk, K/8 + 8, 128) f32
+    group_blk0,     # (G,) i32 — first member block row per group
+    tris_rk,        # (Bk, K/8 + 8, 128) f32 (GROUP_SIZE-1 trailing pad rows)
     t_min: float = 1e-4,
     interpret: bool = False,
 ):
@@ -609,6 +665,7 @@ def stream_pallas(
             smem_glob(c),      # blk
             smem_glob(c),      # inst
             smem_glob(12 * n_inst),  # inv
+            smem_glob(g),      # gblk0
             pl.BlockSpec(memory_space=pltpu.HBM),  # tris (manual DMA)
         ],
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
@@ -624,6 +681,8 @@ def stream_pallas(
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.int32),
             pltpu.SMEM((t,), jnp.float32),
+            pltpu.VMEM((GROUP_SIZE, rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
@@ -642,6 +701,7 @@ def stream_pallas(
         cnt.reshape(1, c), base.reshape(1, c), block_id.reshape(1, c),
         inst.reshape(1, c),
         inv_rows.reshape(1, 12 * n_inst),
+        group_blk0.reshape(1, g),
         tris_rk,
     )
     return t_o, tri_o, u_o, v_o
@@ -775,6 +835,14 @@ def intersect_stream(
     )
     real_g = (jnp.arange(g_padded, dtype=jnp.int32) < g)[None, :]
     pnr, prs, pt0s, pt1s = [], [], [], []
+    if not lvl_s:
+        # depth 0: phase A disabled — one all-empty run level (nrun = 0)
+        # keeps the kernel signature unchanged; its fori_loop never runs.
+        pnrun = jnp.zeros((b, 1), jnp.int32)
+        prun = jnp.zeros((b, g_padded), jnp.int32)
+        pt0 = jnp.zeros((b, g_padded), jnp.int32)
+        pt1 = jnp.zeros((b, g_padded), jnp.int32)
+        gk = jnp.full((b, tiles_pb, SUPER_ROWS, 128), sentinel, jnp.int32)
     for lvl in lvl_s:
         vb = lvl.reshape(b, band)
         eq = vb[:, :, None] == ids_row[None]              # (B, band, Gp)
@@ -791,13 +859,14 @@ def intersect_stream(
         prs.append(rg)
         pt0s.append(t0v)
         pt1s.append(t1v)
-    pnrun = jnp.stack(pnr, axis=1)
-    prun = jnp.concatenate(prs, axis=1)
-    pt0 = jnp.concatenate(pt0s, axis=1)
-    pt1 = jnp.concatenate(pt1s, axis=1)
-    gk = jnp.concatenate(
-        [lvl.reshape(b, tiles_pb, SUPER_ROWS, 128) for lvl in lvl_s], axis=1
-    )
+    if lvl_s:
+        pnrun = jnp.stack(pnr, axis=1)
+        prun = jnp.concatenate(prs, axis=1)
+        pt0 = jnp.concatenate(pt0s, axis=1)
+        pt1 = jnp.concatenate(pt1s, axis=1)
+        gk = jnp.concatenate(
+            [lvl.reshape(b, tiles_pb, SUPER_ROWS, 128) for lvl in lvl_s], axis=1
+        )
 
     # ---- post-sort cull: per-supertile group masks + band tables ----------
     # Prologue (ray, group) incidences are excluded so phase B never
@@ -809,11 +878,13 @@ def intersect_stream(
     tm_eff = jnp.where(act_s, tmax_s, jnp.float32(t_min)).reshape(
         n_st, SUPER_ROWS * 128
     )
-    ex = jnp.zeros((n, g_padded), bool)
-    for lvl in lvl_s:
-        ex = ex | (ids_row == lvl[:, None])
     tns, tfs = _slab_tn_tf(o_s, d_s, tm_eff, gmin_pad, gmax_pad, t_min)
-    enter_st = (tns <= tfs) & ~ex.reshape(n_st, SUPER_ROWS * 128, g_padded)
+    enter_st = tns <= tfs
+    if lvl_s:
+        ex = jnp.zeros((n, g_padded), bool)
+        for lvl in lvl_s:
+            ex = ex | (ids_row == lvl[:, None])
+        enter_st = enter_st & ~ex.reshape(n_st, SUPER_ROWS * 128, g_padded)
     st_any = jnp.any(enter_st, axis=1)                      # (S, Gp)
     st_entry = jnp.min(jnp.where(enter_st, tns, jnp.inf), axis=1)  # (S, Gp)
 
@@ -842,7 +913,7 @@ def intersect_stream(
         dxs.reshape(shape4), dys.reshape(shape4), dzs.reshape(shape4),
         tmax_s.reshape(shape4), flags_s.reshape(shape4),
         cl.aabbs, cl.count, cl.start, cl.block_id, cl.inst, cl.inv_rows,
-        cl.tris_rk,
+        cl.group_blk0, cl.tris_rk,
         t_min=float(t_min), interpret=interpret,
     )
     best_t = bt.reshape(n)
