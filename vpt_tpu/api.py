@@ -88,6 +88,12 @@ class Renderer:
             from vpt_tpu.render.lookup import get_lookup_tables
 
             lookup_tables = get_lookup_tables() if flags.use_energy_compensation else None
+        elif lookup_tables == "reference":
+            # The reference's committed 10M-sample ground-truth tables
+            # (PathTracer.cpp:199-201) instead of the JAX bake.
+            from vpt_tpu.render.lookup import load_reference_tables
+
+            lookup_tables = load_reference_tables()
         self.scene_data, self.meta, aux = compile_scene(scene, lookup_tables=lookup_tables)
         self.flags = flags
         self.post = PostSettings()

@@ -161,6 +161,30 @@ def bake_refraction_table(above_surface: bool, n_samples: int = 4096, seed: int 
     return np.asarray(run())
 
 
+REFERENCE_TABLE_DIR = "/root/reference/Assets/LookupTables"
+
+
+def load_reference_tables(table_dir: str | None = None):
+    """Load the reference's committed ground-truth tables (10M samples/texel,
+    PathTracer.cpp:199-201).  File layout is raw f32 [layer][row][col]
+    (PathTracer.cpp:871-937 uploads one x*y layer slice at a time), which is
+    exactly REFLECT_SHAPE / REFRACT_SHAPE.  Returns (reflect, refract_out,
+    refract_in) — "out" = HitFromOutside = ABOVE_SURFACE (eta = 1/ior).
+    Raises FileNotFoundError if the binaries are absent."""
+    table_dir = table_dir or REFERENCE_TABLE_DIR
+    def _read(name, shape):
+        a = np.fromfile(os.path.join(table_dir, name), dtype=np.float32)
+        if a.size != np.prod(shape):
+            raise ValueError(f"{name}: expected {np.prod(shape)} f32, got {a.size}")
+        return a.reshape(shape)
+
+    return (
+        _read("ReflectionLookup.bin", REFLECT_SHAPE),
+        _read("RefractionLookupHitFromOutside.bin", REFRACT_SHAPE),
+        _read("RefractionLookupHitFromInside.bin", REFRACT_SHAPE),
+    )
+
+
 def get_lookup_tables(n_samples: int = 4096, cache_dir: str | None = None):
     """Bake (or load cached) tables; returns (reflect, refract_out, refract_in)."""
     cache_dir = cache_dir or CACHE_DIR
