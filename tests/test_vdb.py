@@ -97,3 +97,54 @@ def test_errors_are_clear(tmp_path):
         read_vdb(good, grid_name="density")
     g = read_vdb(good, grid_name="temperature")
     assert g.name == "temperature"
+
+
+def test_roundtrip_blosc(tmp_path):
+    """Blosc1-LZ4 value buffers (OpenVDB's own default codec) decode: a
+    write_vdb(compress="blosc") file must read back exactly, through the
+    same envelope + chunk layout OpenVDB emits (io/Compression.cc)."""
+    vals = procedural_cloud((24, 20, 28), coverage=0.5, seed=4)
+    p, g = _roundtrip(tmp_path, vals, compress="blosc")
+    d, h, w = vals.shape
+    ox, oy, oz = (int(v) for v in g.origin_ijk)
+    rebuilt = np.zeros((max(d, oz + g.values.shape[0]),
+                        max(h, oy + g.values.shape[1]),
+                        max(w, ox + g.values.shape[2])), np.float32)
+    rebuilt[oz : oz + g.values.shape[0], oy : oy + g.values.shape[1],
+            ox : ox + g.values.shape[2]] = g.values
+    np.testing.assert_allclose(rebuilt[:d, :h, :w], vals, atol=1e-6)
+
+
+def test_blosc_codec_units():
+    """Blosc chunk container unit checks: memcpyed chunks, shuffled
+    verbatim streams, LZ4 streams, and the pure-Python fallback."""
+    import struct
+
+    from vpt_tpu.scene import blosc
+
+    rng = np.random.default_rng(2)
+    # Compressible data round trip (exercises LZ4 + byte shuffle)
+    data = (np.sin(np.arange(30000, dtype=np.float32) * 0.01) * 50).tobytes()
+    chunk = blosc.compress(data, typesize=4)
+    assert blosc.decompress(chunk) == data
+    if blosc._load() is not None:
+        assert len(chunk) < len(data)  # LZ4 really compressed
+    # Incompressible -> verbatim streams still round trip
+    rnd = rng.bytes(8192)
+    assert blosc.decompress(blosc.compress(rnd, typesize=4)) == rnd
+    # Pure-Python LZ4 fallback decodes the same chunks
+    orig = blosc._load
+    blosc._load = lambda: None
+    try:
+        assert blosc.decompress(chunk) == data
+        assert blosc.decompress(blosc.compress(rnd, typesize=4)) == rnd
+    finally:
+        blosc._load = orig
+    # Raw memcpyed chunk (flags bit 1)
+    hdr = bytearray(16)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 2, 1, 0x2, 4
+    struct.pack_into("<III", hdr, 4, len(rnd), len(rnd), 16 + len(rnd))
+    assert blosc.decompress(bytes(hdr) + rnd) == rnd
+    # Truncated chunk raises a clear error
+    with pytest.raises(blosc.BloscError):
+        blosc.decompress(chunk[:10])

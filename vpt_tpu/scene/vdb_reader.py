@@ -164,10 +164,19 @@ def _read_values(r: _Reader, n_stored: int, compression: int) -> np.ndarray:
     if n_stored == 0:
         return np.zeros(0, np.float32)
     if compression & COMPRESS_BLOSC:
-        raise VdbError(
-            "blosc-compressed .vdb — re-export with compression=zip or none "
-            "(e.g. `vdb_tool -read in.vdb -write codec=zip out.vdb`)"
-        )
+        # OpenVDB's default write path: an Int64-length envelope around one
+        # blosc1 chunk (LZ4 codec, byte shuffle) — see vpt_tpu.scene.blosc.
+        from vpt_tpu.scene import blosc
+
+        n = r.i64()
+        if n <= 0:
+            # Stored uncompressed (blosc didn't shrink): -n bytes raw
+            return np.frombuffer(r.bytes(-n), np.float32).copy()
+        try:
+            raw = blosc.decompress(r.bytes(n))
+        except blosc.BloscError as e:
+            raise VdbError(f"blosc-compressed .vdb: {e}") from e
+        return np.frombuffer(raw, np.float32).copy()
     if compression & COMPRESS_ZIP:
         n = r.i64()
         if n <= 0:
@@ -407,9 +416,12 @@ def read_vdb(path: str, grid_name: str | None = None) -> VdbGrid:
 
 
 def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
-              voxel_size: float = 1.0, compress: bool = True,
+              voxel_size: float = 1.0, compress=True,
               tile_uniform_leaves: bool = False) -> None:
     """Write a dense (D, H, W) float array as a single-FloatGrid .vdb.
+
+    `compress`: True/"zip" = zlib value buffers, "blosc" = blosc1-LZ4
+    chunks (OpenVDB's own default codec), False = raw.
 
     With `tile_uniform_leaves`, 8^3 blocks whose voxels are all equal and
     non-zero are written as level-1 active value TILES instead of leaves —
@@ -433,7 +445,12 @@ def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
         u32(len(b))
         out.extend(b)
 
-    compression = COMPRESS_ZIP if compress else COMPRESS_NONE
+    if compress == "blosc":
+        compression = COMPRESS_BLOSC
+    elif compress:
+        compression = COMPRESS_ZIP
+    else:
+        compression = COMPRESS_NONE
 
     i64(MAGIC)
     u32(224)  # file version
@@ -489,7 +506,13 @@ def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
     def write_vals(vals):
         out.append(NO_MASK_AND_ALL_VALS & 0xFF)  # metadata code 6
         raw = vals.astype("<f4").tobytes()
-        if compression & COMPRESS_ZIP:
+        if compression & COMPRESS_BLOSC:
+            from vpt_tpu.scene import blosc as blosc_mod
+
+            comp = blosc_mod.compress(raw, typesize=4)
+            i64(len(comp))
+            out.extend(comp)
+        elif compression & COMPRESS_ZIP:
             comp = zlib.compress(raw)
             i64(len(comp))
             out.extend(comp)
