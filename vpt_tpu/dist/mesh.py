@@ -88,11 +88,28 @@ def _sharded_step(mesh: Mesh, meta, flags, resolution, local_samples: int):
     return jax.jit(shard_fn)
 
 
-def _check_divisible(n_samples: int, n_spp: int, n_pixels: int, n_tile: int):
+def _check_samples(n_samples: int, n_spp: int):
     assert n_samples >= n_spp and n_samples % n_spp == 0, (
         f"n_samples ({n_samples}) must be a positive multiple of the spp axis ({n_spp})"
     )
-    assert n_pixels % n_tile == 0, "pixel count must divide across the tile axis"
+
+
+def _pad_pixels(pixel_xy, pixel_index, n_tile: int, n_real_streams: int):
+    """Pad the pixel arrays to a tile-axis multiple.  Pad lanes trace real
+    (discarded) paths through pixel (0, 0) with RNG stream ids past the
+    frame's range, so they perturb nothing and collide with nothing."""
+    n = pixel_xy.shape[0]
+    pad = (-n) % n_tile
+    if pad == 0:
+        return pixel_xy, pixel_index, 0
+    pixel_xy = np.concatenate(
+        [pixel_xy, np.zeros((pad, 2), np.float32)], axis=0
+    )
+    pixel_index = np.concatenate(
+        [pixel_index,
+         (n_real_streams + np.arange(pad, dtype=np.uint32)).astype(np.uint32)]
+    )
+    return pixel_xy, pixel_index, pad
 
 
 def render_sharded(
@@ -114,15 +131,22 @@ def render_sharded(
     width, height = resolution
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
-    _check_divisible(n_samples, n_spp, width * height, n_tile)
+    _check_samples(n_samples, n_spp)
     local_samples = n_samples // n_spp
 
     pixel_xy, pixel_index = pixel_grid(width, height)
+    # Non-divisible pixel counts (e.g. 1080-aspect frames on 8-chip meshes)
+    # pad to a tile multiple and drop the pad lanes on return.
+    pixel_xy, pixel_index, pad = _pad_pixels(
+        pixel_xy, pixel_index, n_tile, width * height
+    )
     step = _sharded_step(mesh, meta, flags, resolution, local_samples)
     radiance, segs = step(
         scene_data, params, jnp.asarray(pixel_xy), jnp.asarray(pixel_index),
         jnp.uint32(frame_seed),
     )
+    if pad:
+        radiance = radiance[:-pad]
     return radiance.reshape(height, width, 3), segs
 
 
@@ -138,25 +162,46 @@ def render_tiled_final_frame(
     frame seed are traced arguments of the cached sharded step.
     """
     width, height = resolution
-    assert height % tile_rows == 0
-    band_h = height // tile_rows
+    band_h = -(-height // tile_rows)  # ceil: last band may be short
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
-    _check_divisible(n_samples, n_spp, band_h * width, n_tile)
+    _check_samples(n_samples, n_spp)
     local_samples = n_samples // n_spp
     step = _sharded_step(mesh, meta, flags, resolution, local_samples)
 
     out = np.zeros((height, width, 3), np.float32)
     total_segs = 0.0
     for b in range(tile_rows):
-        ys = np.arange(b * band_h, (b + 1) * band_h)
+        y0 = b * band_h
+        ys = np.arange(y0, min(y0 + band_h, height))
+        if ys.size == 0:
+            break
         xs = np.arange(width)
         gy, gx = np.meshgrid(ys, xs, indexing="ij")
-        pixel_xy = jnp.asarray(
-            np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+        pixel_xy = np.stack(
+            [gx.reshape(-1), gy.reshape(-1)], axis=-1
+        ).astype(np.float32)
+        pixel_index = (gx.reshape(-1) + width * gy.reshape(-1)).astype(np.uint32)
+        # Pad short/non-divisible bands to the FULL band shape so every band
+        # reuses one compiled executable, then drop the pad rows.
+        n_full = band_h * width
+        if pixel_xy.shape[0] < n_full:
+            extra = n_full - pixel_xy.shape[0]
+            pixel_xy = np.concatenate(
+                [pixel_xy, np.zeros((extra, 2), np.float32)]
+            )
+            pixel_index = np.concatenate(
+                [pixel_index,
+                 (width * height + np.arange(extra, dtype=np.uint32))]
+            )
+        pixel_xy, pixel_index, _ = _pad_pixels(
+            pixel_xy, pixel_index, n_tile, width * height + n_full
         )
-        pixel_index = jnp.asarray((gx.reshape(-1) + width * gy.reshape(-1)).astype(np.uint32))
-        band, segs = step(scene_data, params, pixel_xy, pixel_index, jnp.uint32(frame_seed))
-        out[b * band_h : (b + 1) * band_h] = np.asarray(band).reshape(band_h, width, 3)
+        band, segs = step(
+            scene_data, params, jnp.asarray(pixel_xy), jnp.asarray(pixel_index),
+            jnp.uint32(frame_seed),
+        )
+        band = np.asarray(band)[: ys.size * width]
+        out[ys[0] : ys[-1] + 1] = band.reshape(ys.size, width, 3)
         total_segs += float(segs)
     return out, total_segs
