@@ -36,7 +36,7 @@ from vpt_tpu.accel import traverse
 from vpt_tpu.render.params import RenderFlags, RenderParams
 
 
-_TRACE_MODE = os.environ.get("VPT_TRACE", "stream")  # conveyor | rounds | stream | packet
+_TRACE_MODE = os.environ.get("VPT_TRACE", "stream")  # stream | packet
 
 
 def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
@@ -65,23 +65,9 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
     n = origin.shape[0]
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas and _TRACE_MODE in ("stream", "rounds", "conveyor"):
+    if use_pallas and _TRACE_MODE == "stream":
         if anyhit_mask is None and any_hit:
             anyhit_mask = jnp.ones(n, bool)
-        if _TRACE_MODE == "conveyor":
-            from vpt_tpu.accel.conveyor import intersect_conveyor
-
-            return intersect_conveyor(
-                origin, direction, scene.clusters, t_min, tmax_arr,
-                active=active, anyhit=anyhit_mask,
-            )
-        if _TRACE_MODE == "rounds":
-            from vpt_tpu.accel.rounds import intersect_rounds
-
-            return intersect_rounds(
-                origin, direction, scene.clusters, t_min, tmax_arr,
-                active=active, anyhit=anyhit_mask,
-            )
         from vpt_tpu.accel.stream import intersect_stream
 
         return intersect_stream(
@@ -100,6 +86,38 @@ def trace(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
         active=active, any_hit=any_hit and anyhit_mask is None,
         sort_rays=sort_rays,
     )
+
+
+def occlude(scene, meta, origin, direction, active, t_min=traverse.T_MIN,
+            t_max=traverse.T_MAX, exclude_tri=None):
+    """Shadow query: blocked iff any triangle with virtual id !=
+    exclude_tri intersects in (t_min, t_max).
+
+    Sky-NEE passes exclude_tri=-1 (any hit blocks — RTCommon.slang:47-84 /
+    MissShadow.slang:4-9); light-NEE passes the sampled triangle id with
+    t_max just short of the sample, equivalent to the reference's
+    closest==target compare (ClosestHit.slang:169-176) except for
+    occluders at exactly the target's distance.
+
+    On TPU this runs the dedicated any-hit occlusion kernel
+    (accel/occlude.py) — no best-t refinement, early exit when blocked.
+    CPU/brute-force fallbacks use a closest-hit trace and compare ids
+    (identical semantics)."""
+    n = origin.shape[0]
+    if exclude_tri is None:
+        exclude_tri = jnp.full(n, -1, jnp.int32)
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if (not meta.use_brute_force) and use_pallas and _TRACE_MODE == "stream":
+        from vpt_tpu.accel.occlude import occlude_stream
+
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        return occlude_stream(
+            origin, direction, scene.clusters, t_min, tmax_arr,
+            active=active, exclude_tri=exclude_tri,
+        )
+    hit = trace(scene, meta, origin, direction, active, t_min=t_min,
+                t_max=t_max, sort_rays=_SORT_RAYS)
+    return (hit.t >= 0.0) & (hit.tri != exclude_tri)
 
 
 def path_trace_sample(
@@ -406,43 +424,40 @@ def path_trace_sample(
             need_light = shade & ~is_light & jnp.bool_(use_mesh_nee) & (light_pdf > 0.0)
             sky_org = surf.world_pos + surf.normal * sky_eps
             light_org = surf.world_pos + to_light * light_eps
-        # Shadow queries, one batched trace: the SKY half is any-hit
-        # (DoesRayIntersectWithAS, RTCommon.slang:47-84 — blocked iff any
-        # hit); the LIGHT half is CLOSEST-hit and visibility compares the
-        # hit's virtual triangle id against the sampled one, exactly the
-        # reference's ray-query semantics (ClosestHit.slang:169-176:
-        # closest committed hit, triangle+instance equality).  The light
-        # ray's t_max extends just past the sample — a planar triangle
-        # intersects a ray once, so any farther hit cannot be the sample.
-        # Only trace the NEE halves that are statically enabled — a
-        # disabled half would be N dead lanes still paying cull+dispatch.
+        # Shadow queries, one batched ANY-HIT occlusion pass: the SKY half
+        # blocks on any hit (DoesRayIntersectWithAS, RTCommon.slang:47-84);
+        # the LIGHT half excludes the sampled triangle id and stops just
+        # SHORT of the sample (0.999x), equivalent to the reference's
+        # closest==target compare (ClosestHit.slang:169-176) up to
+        # occluders within 0.1% of the light's distance.  Only the NEE
+        # halves that are statically enabled are traced — a disabled half
+        # would be N dead lanes still paying cull+dispatch.
         sky_half = bool(flags.enable_sky_mis)
         light_half = bool(use_mesh_nee)
         parts = []
         if sky_half:
             parts.append((sky_org, to_sky, need_sky,
                           jnp.full(n, traverse.T_MAX, jnp.float32),
-                          jnp.ones(n, bool)))
+                          jnp.full(n, -1, jnp.int32)))
         if light_half:
             parts.append((light_org, to_light, need_light,
-                          jnp.maximum(light_dist * 1.001 + light_eps[:, 0], t_min_s),
-                          jnp.zeros(n, bool)))
+                          jnp.maximum(light_dist * 0.999, t_min_s),
+                          light_tri))
         if parts:
             shadow_org = jnp.concatenate([p[0] for p in parts])
             shadow_dir = jnp.concatenate([p[1] for p in parts])
             shadow_active = jnp.concatenate([p[2] for p in parts])
             shadow_tmax = jnp.concatenate([p[3] for p in parts])
-            shadow_anyhit = jnp.concatenate([p[4] for p in parts])
-            shadow_hit = trace(
+            shadow_extri = jnp.concatenate([p[4] for p in parts])
+            shadow_blocked = occlude(
                 scene, meta, shadow_org, shadow_dir, shadow_active,
-                t_min=t_min_s, t_max=shadow_tmax, any_hit=False,
-                sort_rays=_SORT_RAYS, anyhit_mask=shadow_anyhit,
+                t_min=t_min_s, t_max=shadow_tmax, exclude_tri=shadow_extri,
             )
         else:
             shadow_active = jnp.zeros(0, bool)
-        sky_blocked = shadow_hit.t[:n] >= 0.0 if sky_half else jnp.zeros(n, bool)
+        sky_blocked = shadow_blocked[:n] if sky_half else jnp.zeros(n, bool)
         light_visible = (
-            shadow_hit.tri[n if sky_half else 0:] == light_tri
+            ~shadow_blocked[n if sky_half else 0:]
             if light_half else jnp.zeros(n, bool)
         )
         can_hit_sky = need_sky & ~sky_blocked
