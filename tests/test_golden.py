@@ -33,6 +33,9 @@ def test_cornell_golden():
     img = _render_cornell()
     path = os.path.join(GOLDEN_DIR, "cornell_64_32spp.npy")
     if not os.path.exists(path):
+        if os.environ.get("VPT_REQUIRE_GOLDENS"):
+            pytest.fail("golden cornell_64_32spp.npy missing "
+                        "(VPT_REQUIRE_GOLDENS set)")
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.save(path, img)
         pytest.skip("golden generated on first run; commit it")
@@ -85,6 +88,9 @@ def test_tonemapped_golden_png():
 def _golden_check(name, img, tol=0.97):
     path = os.path.join(GOLDEN_DIR, name)
     if not os.path.exists(path):
+        if os.environ.get("VPT_REQUIRE_GOLDENS"):
+            pytest.fail(f"golden {name} missing (VPT_REQUIRE_GOLDENS set): "
+                        "a deleted golden must not silently pass")
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.save(path, img)
         pytest.skip("golden generated on first run; commit it")
@@ -162,3 +168,22 @@ def test_atmosphere_sunset_golden():
     r._seed_counter = 31
     r.path_trace()
     _golden_check("sunset_32_16spp.npy", np.asarray(r.hdr_image()), tol=0.95)
+
+
+@pytest.mark.slow
+def test_cornell_box_glass_gltf_golden():
+    """The reference's own dielectric scene
+    (/root/reference/Assets/CornellBoxGlass.gltf): load it with our glTF
+    importer and gate the render against a committed golden — r3 loaded
+    the asset in test_gltf but never traced it (VERDICT r3 missing #4)."""
+    from vpt_tpu.scene.gltf import load_gltf
+
+    scene = load_gltf("/root/reference/Assets/CornellBoxGlass.gltf")
+    r = Renderer(scene, width=48, height=48,
+                 flags=RenderFlags(max_depth=8, max_medium_events=4),
+                 samples_per_frame=16, max_samples=16, lookup_tables=None)
+    r._seed_counter = 29
+    r.path_trace()
+    img = np.asarray(r.hdr_image())
+    assert np.isfinite(img).all() and img.max() > 0
+    _golden_check("cornell_glass_gltf_48_16spp.npy", img)
