@@ -9,6 +9,7 @@ blocks are genuinely shared between instances, and that non-uniform scales
 and rotations are handled.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -98,6 +99,7 @@ def test_instanced_trace_matches_brute_force():
     )
 
 
+@pytest.mark.slow
 def test_instanced_render_runs_and_shades():
     """End-to-end: the virtual-id shading tables resolve hits correctly."""
     from vpt_tpu.api import _render_step

@@ -79,6 +79,7 @@ def test_cornell_color_bleeding(cornell_renderer):
     assert right[1] > right[0], f"right half should be green-ish, got {right}"
 
 
+@pytest.mark.slow
 def test_progressive_accumulation_reduces_variance(cornell_renderer):
     r = cornell_renderer
     r.reset_path_tracing()

@@ -2,6 +2,7 @@
 
 import json
 
+import pytest
 import numpy as np
 
 from vpt_tpu.api import Renderer
@@ -29,6 +30,7 @@ def test_metrics_log_records_dispatches(tmp_path):
     assert abs(sum(d["segments"] for d in disp) - r.segments_traced) < 1e-3
 
 
+@pytest.mark.slow
 def test_metrics_log_null_by_default():
     r = Renderer(
         cornell_box(with_boxes=False), width=16, height=16,

@@ -7,6 +7,7 @@ RTCommon.slang:47-84; light: closest==target, ClosestHit.slang:169-176).
 Any-hit with exclusion must agree except for exact-distance ties, which
 random scenes make measure-zero."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _oracle_blocked(p0, e1, e2, cl, org, d, t_min, tmax, active, extri):
     return np.asarray((hit.t >= 0.0) & (hit.tri != extri))
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_occlude_sky_semantics():
     """exclude_tri = -1: blocked iff ANY hit below t_max."""
     p0, e1, e2, cl, rng = _scene(600, seed=3)
@@ -39,6 +41,7 @@ def test_occlude_sky_semantics():
     assert not np.any(np.asarray(blocked)[~np.asarray(active)])
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_occlude_excluded_triangle():
     """Light-NEE: rays aimed at a known triangle with that id excluded must
     NOT be blocked by it, but other geometry still blocks."""
@@ -78,6 +81,7 @@ def test_occlude_excluded_triangle():
         assert np.all(np.asarray(hit2.t) >= 0), "any-hit blocked without occluder"
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_occlude_mixed_padding():
     """Non-multiple-of-band wavefronts pad correctly."""
     p0, e1, e2, cl, rng = _scene(300, seed=7)

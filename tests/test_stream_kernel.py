@@ -64,6 +64,7 @@ def _assert_hits_equal(a, b, tie_tol=1e-5):
     )
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_stream_matches_xla_random():
     p0, e1, e2, cl, rng = _scene(600, 20)
     org, d = _rays(rng, 256)
@@ -86,6 +87,7 @@ def test_stream_matches_xla_multi_cluster():
     _assert_hits_equal(st, xla)
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_stream_anyhit_per_ray_tmax():
     p0, e1, e2, cl, rng = _scene(800, 22)
     n = 256
@@ -108,6 +110,7 @@ def test_stream_anyhit_per_ray_tmax():
     assert np.all(ta >= t_true[has] * (1 - 1e-4))
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_stream_mixed_anyhit_closest():
     # Half the wavefront closest-hit, half any-hit, interleaved — the merged
     # main+shadow trace shape.  Closest lanes must return exact closest
@@ -130,6 +133,7 @@ def test_stream_mixed_anyhit_closest():
     assert np.all(t_st[hot] >= t_true[hot] * (1 - 1e-4))
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile of the interpret-mode kernel
 def test_stream_dead_and_padding():
     _, _, _, cl, rng = _scene(700, 24)
     org, d = _rays(rng, 300)  # not a multiple of anything — exercises padding

@@ -38,8 +38,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 N_SUB = 8  # sub-blocks per cluster
-GROUP_SIZE = 8  # clusters per group (build_clusters pads to an exact multiple)
+
+# Clusters per group (build_clusters pads to an exact multiple).  Bigger
+# groups halve every XLA-side (N, G) cull pass and table at the cost of
+# looser group AABBs (more in-kernel member screening) — env-tunable for
+# on-chip sweeps.
+GROUP_SIZE = int(_os.environ.get("VPT_GROUP_SIZE", "8"))
 
 
 def _visit_kernel(
