@@ -36,8 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vpt_tpu.accel.cluster import ClusterData, _slab_tn_tf, PACKET_SIZE
-from vpt_tpu.accel.stream import SUPER_ROWS, TILES_PER_BAND, _ctz32
+from vpt_tpu.accel import envelope
+from vpt_tpu.accel.cluster import ClusterData
+from vpt_tpu.accel.stream import _MT_DENSE, SUPER_ROWS, TILES_PER_BAND, _ctz32
 from vpt_tpu.accel.traverse import T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE, N_SUB
 
@@ -85,14 +86,12 @@ def _occlude_kernel(
     invy[...] = 1.0 / jnp.where(jnp.abs(dy_ref[...]) > 1e-20, dy_ref[...], 1e-20)
     invz[...] = 1.0 / jnp.where(jnp.abs(dz_ref[...]) > 1e-20, dz_ref[...], 1e-20)
 
-    def _visit_supertile(cid, src, sidx, j):
-        """Single-drain any-hit visit: blocked bits OR-accumulate, no
-        best-t refinement."""
+    def _member_enter(cid, j):
+        """World-space member-cluster slab for supertile j (any-hit live
+        mask: active and not yet blocked)."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])
-        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
         live = (act_ref[j] > 0) & (blocked_out[j] == 0)
         inv8 = (invx[j], invy[j], invz[j])
-
         tn = jnp.full((SUPER_ROWS, 128), t_min, jnp.float32)
         tf = jnp.where(live, tmax_ref[j], t_min)
         o6 = 6 * cid
@@ -101,8 +100,13 @@ def _occlude_kernel(
             s1 = (cab_ref[0, o6 + 3 + ax] - o8[ax]) * inv8[ax]
             tn = jnp.maximum(tn, jnp.minimum(s0, s1))
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
-        enter = (tn <= tf) & live
+        return (tn <= tf) & live
 
+    def _visit_rows(cid, src, sidx, j, rbits, enter):
+        """Row-gated sub-slab + any-hit MT for one member cluster."""
+        o8 = (ox_ref[j], oy_ref[j], oz_ref[j])
+        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
+        inv8 = (invx[j], invy[j], invz[j])
         cnt = cnt_ref[0, cid]
         base = base_ref[0, cid]
         blk = src[sidx]
@@ -125,16 +129,9 @@ def _occlude_kernel(
             ldx, ldy, ldz = d8
             linv_x, linv_y, linv_z = inv8
 
-        # Row dispatch mirrors the stream kernel: one drain per visit for
-        # the row mask, one per entering row for its sub mask — only
-        # entering rows pay the (8 subs, 128) sub-AABB slab.
-        rw = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 128), 0)
-        rbits = jnp.sum(
-            jnp.max(
-                jnp.where(enter, jnp.int32(1) << rw, jnp.int32(0)),
-                axis=1, keepdims=True,
-            )
-        )
+        # Row dispatch mirrors the stream kernel: rbits arrive precomputed
+        # (batched group pass, no per-member drain) — only entering rows
+        # pay the (8 subs, 128) sub-AABB slab.
         box_lo = [meta[:, ax : ax + 1] for ax in range(3)]
         box_hi = [meta[:, 3 + ax : 4 + ax] for ax in range(3)]
         siota = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, 1), 0)
@@ -154,15 +151,22 @@ def _occlude_kernel(
                     stn = jnp.maximum(stn, jnp.minimum(lo_t, hi_t))
                     stf = jnp.minimum(stf, jnp.maximum(lo_t, hi_t))
                 s_ent_r = (stn <= stf) & er
-                sbits = jnp.sum(
-                    jnp.max(
-                        jnp.where(s_ent_r, jnp.int32(1) << siota, jnp.int32(0)),
-                        axis=1, keepdims=True,
+                if _MT_DENSE:
+                    # Dense mode (see stream.py): every sub-block's MT runs
+                    # masked by the vector enter mask — no per-row sbits
+                    # vector->scalar drain.
+                    sbits = None
+                else:
+                    sbits = jnp.sum(
+                        jnp.max(
+                            jnp.where(
+                                s_ent_r, jnp.int32(1) << siota, jnp.int32(0)
+                            ),
+                            axis=1, keepdims=True,
+                        )
                     )
-                )
                 for s in range(N_SUB):
 
-                    @pl.when(((sbits >> s) & 1) != 0)
                     def _mt(s=s, r=r, s_ent_r=s_ent_r):
                         c0 = s * 16
                         ro = (lox[r : r + 1], loy[r : r + 1], loz[r : r + 1])
@@ -210,15 +214,58 @@ def _occlude_kernel(
                             blocked_out[j, r : r + 1, :] | newly
                         )
 
+                    if _MT_DENSE:
+                        _mt()
+                    else:
+                        pl.when(((sbits >> s) & 1) != 0)(_mt)
+
+    def _visit_group_supertile(c0, src, j):
+        """All GROUP_SIZE members of one candidate group against
+        supertile j: a vector-only pass packs every member's row-any bits
+        (one drain per 4 members, see stream.py), then only members with
+        bits run the row-gated sub-slab + MT, and the supertile retires
+        once per GROUP visit instead of once per member."""
+        riota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 1), 0)
+        words = []
+        for w0 in range(0, GROUP_SIZE, 4):
+            acc = jnp.zeros((SUPER_ROWS, 1), jnp.int32)
+            for mw in range(min(4, GROUP_SIZE - w0)):
+                cid = c0 + w0 + mw
+                enter = _member_enter(cid, j)
+                row_any = jnp.max(
+                    enter.astype(jnp.int32), axis=1, keepdims=True
+                )
+                occupied = jnp.where(
+                    cnt_ref[0, cid] > 0, jnp.int32(1), jnp.int32(0)
+                )
+                acc = acc + jnp.where(
+                    row_any > 0,
+                    jnp.int32(1) << (riota + 8 * mw),
+                    jnp.int32(0),
+                ) * occupied
+            words.append(jnp.sum(acc))
+
+        any_bits = words[0]
+        for wv in words[1:]:
+            any_bits = any_bits | wv
+        for m in range(GROUP_SIZE):
+            byte = (words[m // 4] >> (8 * (m % 4))) & 0xFF
+
+            @pl.when(byte != 0)
+            def _m(m=m, byte=byte):
+                cid = c0 + m
+                enter = _member_enter(cid, j)
+                _visit_rows(cid, src, m, j, byte, enter)
+
         # Retire the supertile once every live ray is blocked, and shrink
         # its tmax cap to the surviving rays so the entry screens tighten.
-        @pl.when(rbits != 0)
+        @pl.when(any_bits != 0)
         def _retire():
             live_now = (act_ref[j] > 0) & (blocked_out[j] == 0)
             undone[j] = jnp.max(live_now.astype(jnp.int32))
             tcaps[j] = jnp.max(jnp.where(live_now, tmax_ref[j], t_min))
 
-    def _visit_member(cid, src, sidx, word, g):
+    def _visit_group(c0, src, word, g):
         gp_w = order_ref.shape[2]
 
         def body(w):
@@ -226,7 +273,7 @@ def _occlude_kernel(
 
             @pl.when((undone[j] > 0) & (sent_ref[0, 0, j * gp_w + g] <= tcaps[j]))
             def _go():
-                _visit_supertile(cid, src, sidx, j)
+                _visit_group_supertile(c0, src, j)
 
             return w & (w - jnp.uint32(1))
 
@@ -253,12 +300,7 @@ def _occlude_kernel(
             )
             cp.start()
             cp.wait()
-            for m in range(GROUP_SIZE):
-                cid = c0 + m
-
-                @pl.when(cnt_ref[0, cid] > 0)
-                def _m(cid=cid, m=m):
-                    _visit_member(cid, gbuf, m, word, g)
+            _visit_group(c0, gbuf, word, g)
 
         # Exit when no supertile has unresolved rays, or when the next
         # entry exceeds every unresolved supertile's tmax cap (scalar
@@ -427,17 +469,13 @@ def occlude_stream(
     ).T
 
     # Sort key: FIRST entered group only (occlusion needs no second-level
-    # coherence; one argmin instead of two).
-    n_pk = n // PACKET_SIZE
-    tn0, tf0 = _slab_tn_tf(
-        origin.reshape(n_pk, PACKET_SIZE, 3),
-        direction.reshape(n_pk, PACKET_SIZE, 3),
-        tmax_arr.reshape(n_pk, PACKET_SIZE), gmin_pad, gmax_pad, t_min,
+    # coherence; one level instead of two) — Pallas envelope kernel
+    # (accel/envelope.py) replacing the XLA (N, G) slab + argmin chain.
+    key = envelope.ray_keys(
+        origin, inv_all, tmax_arr, gmin_pad, gmax_pad,
+        t_min=float(t_min), levels=1, interpret=interpret,
     )
-    ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
-    g0 = jnp.argmin(ent, axis=1).astype(jnp.int32)
-    v0 = jnp.min(ent, axis=1)
-    key = jnp.where(jnp.isfinite(v0) & active, g0, jnp.int32(g_padded))
+    key = jnp.where(active, key, jnp.int32(g_padded))
 
     lane = jax.lax.iota(jnp.int32, n)
     (key_s, lane_key, ox, oy, oz, dxs, dys, dzs, tmax_s, act_s, ext_s) = jax.lax.sort(
@@ -448,16 +486,15 @@ def occlude_stream(
     )
 
     b = n // band
-    n_st = n // (SUPER_ROWS * 128)
-    o_s = jnp.stack([ox, oy, oz], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
-    d_s = jnp.stack([dxs, dys, dzs], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
-    tm_eff = jnp.where(act_s > 0, tmax_s, jnp.float32(t_min)).reshape(
-        n_st, SUPER_ROWS * 128
-    )
-    tns, tfs = _slab_tn_tf(o_s, d_s, tm_eff, gmin_pad, gmax_pad, t_min)
-    enter_st = tns <= tfs
-    st_any = jnp.any(enter_st, axis=1)
-    st_entry = jnp.min(jnp.where(enter_st, tns, jnp.inf), axis=1)
+    o_s = jnp.stack([ox, oy, oz], axis=-1)
+    d_s = jnp.stack([dxs, dys, dzs], axis=-1)
+    inv_s = 1.0 / jnp.where(jnp.abs(d_s) > 1e-20, d_s, 1e-20)
+    tm_eff = jnp.where(act_s > 0, tmax_s, jnp.float32(t_min))
+    st_entry = envelope.supertile_tables(
+        o_s, inv_s, tm_eff, gmin_pad, gmax_pad,
+        t_min=float(t_min), interpret=interpret,
+    )  # (S, Gp) min entry, +inf = no ray enters
+    st_any = jnp.isfinite(st_entry)
 
     shifts = jnp.arange(tiles_pb, dtype=jnp.uint32)
     bits = jnp.sum(

@@ -51,13 +51,15 @@ any-hit matches DoesRayIntersectWithAS.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vpt_tpu.accel.cluster import ClusterData, _slab_tn_tf, PACKET_SIZE
+from vpt_tpu.accel import envelope
+from vpt_tpu.accel.cluster import ClusterData
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE, N_SUB
 
@@ -70,6 +72,21 @@ BAND = TILES_PER_BAND * SUPER_ROWS * 128  # 32768 rays
 
 _FLAG_ACT = 1
 _FLAG_ANYHIT = 2
+
+# Profiling ablations (scripts/visit_floor_probe.py): compile-time switches
+# that remove stages of the visit so on-chip time attributes to cluster
+# slab / row sub-slab / MT.  "" = production.  NEVER set in rendering.
+#   norows — cluster slab + rbits drain only (skip sub-slabs + MT)
+#   nomt   — cluster slab + row sub-slabs + drains (skip MT blocks)
+_ABLATE = os.environ.get("VPT_STREAM_ABLATE", "")
+
+# MT dispatch mode: "dense" (default) runs every sub-block's
+# Moller-Trumbore masked by the vector enter mask; "sparse" reads an
+# 8-bit sub mask back to the scalar core per entering row and gates each
+# MT block on its bit.  The readback is a vector->scalar pipeline drain
+# (~1 us): measured on colonnade 512x4spp, dense 3.71 s/dispatch vs
+# sparse 4.28 s (-13%) even though dense does ~3x the MT vector work.
+_MT_DENSE = os.environ.get("VPT_STREAM_MT", "dense") != "sparse"
 
 
 def _ctz32(w):
@@ -141,44 +158,68 @@ def _stream_kernel(
         )
         return jnp.max(jnp.where(live, t_out[j], t_min))
 
-    def _visit_supertile(cid, src, sidx, j):
-        """One (member cluster, supertile) visit: member-cluster slab ->
-        8-bit row mask (one drain) -> per entering row a sub-AABB slab ->
-        8-bit sub mask (one drain) -> Moller-Trumbore on set (row, sub)
-        bits only.  Replaces r3's separate refine-then-process passes
-        (which slab-tested each member twice and drained once extra per
-        visit)."""
+    def _member_enter(cid, j):
+        """World-space member-cluster slab for supertile j: (8, 128) enter
+        mask, tf bounded by each live ray's best."""
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])      # (8, 128) each
-        d8 = (dx_ref[j], dy_ref[j], dz_ref[j])
         fl = flags_ref[j]
-        bt8 = t_out[j]
         live = ((fl & _FLAG_ACT) > 0) & (
             ((fl & _FLAG_ANYHIT) == 0) | (tri_out[j] < 0)
         )
         inv8 = (invx[j], invy[j], invz[j])
-
-        # Cluster world-AABB slab, tf bounded by each live ray's best
         tn = jnp.full((SUPER_ROWS, 128), t_min, jnp.float32)
-        tf = jnp.where(live, bt8, t_min)
+        tf = jnp.where(live, t_out[j], t_min)
         o6 = 6 * cid
         for ax in range(3):
             s0 = (cab_ref[0, o6 + ax] - o8[ax]) * inv8[ax]
             s1 = (cab_ref[0, o6 + 3 + ax] - o8[ax]) * inv8[ax]
             tn = jnp.maximum(tn, jnp.minimum(s0, s1))
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
-        enter = (tn <= tf) & live
+        return (tn <= tf) & live
 
-        rw = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 128), 0)
-        rbits = jnp.sum(
-            jnp.max(
-                jnp.where(enter, jnp.int32(1) << rw, jnp.int32(0)),
-                axis=1, keepdims=True,
-            )
-        )
+    def _visit_group_supertile(c0, src, j):
+        """All GROUP_SIZE member clusters of one candidate group against
+        supertile j.  Pass 1 (vector only) runs every member's world slab
+        and packs (member, row) any-bits as distinct powers of two — ONE
+        vector->scalar drain per 4 members reads them back, replacing the
+        old per-member rbits drain (plus per-member caps drain) that
+        dominated kernel time at ~1 us per drain.  Pass 2 re-runs the
+        12-op slab only for members with bits set and row-dispatches the
+        sub-slab + MT exactly as before."""
+        riota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 1), 0)
+        words = []
+        for w0 in range(0, GROUP_SIZE, 4):
+            acc = jnp.zeros((SUPER_ROWS, 1), jnp.int32)
+            for mw in range(min(4, GROUP_SIZE - w0)):
+                cid = c0 + w0 + mw
+                enter = _member_enter(cid, j)
+                row_any = jnp.max(
+                    enter.astype(jnp.int32), axis=1, keepdims=True
+                )  # (8, 1)
+                occupied = jnp.where(
+                    cnt_ref[0, cid] > 0, jnp.int32(1), jnp.int32(0)
+                )
+                acc = acc + jnp.where(
+                    row_any > 0,
+                    jnp.int32(1) << (riota + 8 * mw),
+                    jnp.int32(0),
+                ) * occupied
+            # Distinct powers of two per (member, row): sum == bitwise or.
+            words.append(jnp.sum(acc))
 
-        @pl.when(rbits != 0)
-        def _visit(rbits=rbits, enter=enter):
-            _visit_rows(cid, src, sidx, j, rbits, enter)
+        if _ABLATE != "norows":
+            for m in range(GROUP_SIZE):
+                byte = (words[m // 4] >> (8 * (m % 4))) & 0xFF
+
+                @pl.when(byte != 0)
+                def _m(m=m, byte=byte):
+                    cid = c0 + m
+                    enter = _member_enter(cid, j)
+                    _visit_rows(cid, src, m, j, byte, enter)
+
+        # Tighten the supertile's running cap once per group visit (the
+        # old per-member update was another drain per member).
+        caps[j] = _tile_cap(j)
 
     def _visit_rows(cid, src, sidx, j, rbits, enter):
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])
@@ -234,15 +275,22 @@ def _stream_kernel(
                     stf = jnp.minimum(stf, jnp.maximum(lo_t, hi_t))
                 s_ent_r = (stn <= stf) & er                    # (8 subs, 128)
                 s_tn_r = stn
-                sbits = jnp.sum(
-                    jnp.max(
-                        jnp.where(s_ent_r, jnp.int32(1) << siota, jnp.int32(0)),
-                        axis=1, keepdims=True,
+                if _MT_DENSE:
+                    # Dense mode: run every sub-block's MT masked by
+                    # sub_enter — skips the sbits vector->scalar readback
+                    # (a pipeline drain per entering row).
+                    sbits = None
+                else:
+                    sbits = jnp.sum(
+                        jnp.max(
+                            jnp.where(
+                                s_ent_r, jnp.int32(1) << siota, jnp.int32(0)
+                            ),
+                            axis=1, keepdims=True,
+                        )
                     )
-                )
-                for s in range(N_SUB):
+                for s in range(N_SUB if _ABLATE != "nomt" else 0):
 
-                    @pl.when(((sbits >> s) & 1) != 0)
                     def _mt(s=s, r=r, s_ent_r=s_ent_r, s_tn_r=s_tn_r):
                         c0 = s * 16
                         ro = (lox[r : r + 1], loy[r : r + 1], loz[r : r + 1])
@@ -311,11 +359,12 @@ def _stream_kernel(
                             better, v_best, v_out[j, r : r + 1, :]
                         )
 
-        # Tighten the supertile's running cap with the new bests so the
-        # per-(supertile, group) screen prunes later candidates.
-        caps[j] = _tile_cap(j)
+                    if _MT_DENSE:
+                        _mt()
+                    else:
+                        pl.when(((sbits >> s) & 1) != 0)(_mt)
 
-    def _visit_member(cid, src, sidx, word, g):
+    def _visit_group(c0, src, word, g):
         """Visit every supertile whose mask bit is set, screened against
         the per-supertile running cap at one SMEM compare per bit."""
         gp_w = order_ref.shape[2]
@@ -325,7 +374,7 @@ def _stream_kernel(
 
             @pl.when(sent_ref[0, 0, j * gp_w + g] <= caps[j])
             def _go():
-                _visit_supertile(cid, src, sidx, j)
+                _visit_group_supertile(c0, src, j)
 
             return w & (w - jnp.uint32(1))
 
@@ -357,12 +406,7 @@ def _stream_kernel(
             )
             cp.start()
             cp.wait()
-            for m in range(GROUP_SIZE):
-                cid = c0 + m
-
-                @pl.when(cnt_ref[0, cid] > 0)
-                def _m(cid=cid, m=m):
-                    _visit_member(cid, gbuf, m, word, g)
+            _visit_group(c0, gbuf, word, g)
 
         # Band early-exit bound: max cap over the band's supertiles — a
         # scalar loop over SMEM, no vector reduction.
@@ -540,26 +584,14 @@ def intersect_stream(
     # The key is the base-(gp+1) packing of the ray's first two entered
     # group ids in entry order: rays needing the same clusters first become
     # row-adjacent.  Sentinel component = gp (no entry / inactive), which
-    # sorts last.
+    # sorts last.  Computed by the Pallas envelope kernel — the XLA
+    # (N, G) slab + double argmin chain it replaces ran at ~1.5% VPU
+    # utilization (see accel/envelope.py).
     gp1 = g_padded + 1
-
-    n_pk = n // PACKET_SIZE
-    tn0, tf0 = _slab_tn_tf(
-        origin.reshape(n_pk, PACKET_SIZE, 3),
-        direction.reshape(n_pk, PACKET_SIZE, 3),
-        tmax_arr.reshape(n_pk, PACKET_SIZE), gmin_pad, gmax_pad, t_min,
+    key = envelope.ray_keys(
+        origin, inv_all, tmax_arr, gmin_pad, gmax_pad,
+        t_min=float(t_min), levels=2, interpret=interpret,
     )
-    ent = jnp.where(tn0 <= tf0, tn0, jnp.inf).reshape(n, g_padded)
-    sentinel = jnp.int32(g_padded)
-    ids_row = jnp.arange(g_padded, dtype=jnp.int32)[None, :]
-    g0 = jnp.argmin(ent, axis=1).astype(jnp.int32)
-    v0 = jnp.min(ent, axis=1)
-    lvl0 = jnp.where(jnp.isfinite(v0), g0, sentinel)
-    rem = jnp.where(ids_row == g0[:, None], jnp.inf, ent)
-    g1 = jnp.argmin(rem, axis=1).astype(jnp.int32)
-    v1 = jnp.min(rem, axis=1)
-    lvl1 = jnp.where(jnp.isfinite(v1), g1, sentinel)
-    key = lvl0 * gp1 + lvl1
     key = jnp.where(active, key, jnp.int32(gp1 * gp1 - 1))
 
     flags = active.astype(jnp.int32) + anyhit.astype(jnp.int32) * 2
@@ -573,17 +605,16 @@ def intersect_stream(
 
     # ---- post-sort cull: per-supertile group masks + band tables ----------
     b = n // band                        # bands
-    n_st = n // (SUPER_ROWS * 128)       # supertiles
-    o_s = jnp.stack([ox, oy, oz], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
-    d_s = jnp.stack([dxs, dys, dzs], axis=-1).reshape(n_st, SUPER_ROWS * 128, 3)
+    o_s = jnp.stack([ox, oy, oz], axis=-1)
+    d_s = jnp.stack([dxs, dys, dzs], axis=-1)
+    inv_s = 1.0 / jnp.where(jnp.abs(d_s) > 1e-20, d_s, 1e-20)
     act_s = (flags_s & 1) > 0
-    tm_eff = jnp.where(act_s, tmax_s, jnp.float32(t_min)).reshape(
-        n_st, SUPER_ROWS * 128
-    )
-    tns, tfs = _slab_tn_tf(o_s, d_s, tm_eff, gmin_pad, gmax_pad, t_min)
-    enter_st = tns <= tfs
-    st_any = jnp.any(enter_st, axis=1)                      # (S, Gp)
-    st_entry = jnp.min(jnp.where(enter_st, tns, jnp.inf), axis=1)  # (S, Gp)
+    tm_eff = jnp.where(act_s, tmax_s, jnp.float32(t_min))
+    st_entry = envelope.supertile_tables(
+        o_s, inv_s, tm_eff, gmin_pad, gmax_pad,
+        t_min=float(t_min), interpret=interpret,
+    )  # (S, Gp) min entry, +inf = no ray enters
+    st_any = jnp.isfinite(st_entry)
 
     shifts = jnp.arange(tiles_pb, dtype=jnp.uint32)
     bits = jnp.sum(

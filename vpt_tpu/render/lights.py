@@ -180,8 +180,12 @@ def sample_emissive_triangle(state, scene, position, n_emissive: int, has_textur
         (u_tri * tri_count_f).astype(jnp.int32), tri_count_f.astype(jnp.int32) - 1
     )
 
-    slot = em.slot_table[em_row[..., 1].astype(jnp.int32) + tri_idx]
-    row = scene.tri_attr[slot]  # one packed gather: p0/e1/e2 + uvs
+    entry = em_row[..., 1].astype(jnp.int32) + tri_idx
+    slot = em.slot_table[entry]
+    # Gather from the emissive-only row table (few hundred rows) rather
+    # than the full (n_tris, 32) tri_attr: full-table row gathers are
+    # HBM-latency-bound on TPU (~0.5 us/row).
+    row = em.tri_rows[entry]  # one packed gather: p0/e1/e2 + uvs
     p0 = row[..., 0:3]
     e1 = row[..., 3:6]
     e2 = row[..., 6:9]

@@ -352,6 +352,8 @@ def compile_scene(scene: Scene, lookup_tables=None):
         cursor += t
     slot_table = np.concatenate(slots) if slots else np.zeros(1, np.int32)
 
+    # tri_rows is filled in below once tri_attr exists (NEE gathers from
+    # that small table instead of the full (n_tris, 32) tri_attr).
     emissive = EmissiveTable(
         attr=jnp.asarray(
             np.stack([em_cnt, em_off, em_inst, em_mat], axis=-1).astype(np.float32)
@@ -362,6 +364,7 @@ def compile_scene(scene: Scene, lookup_tables=None):
         offset=jnp.asarray(em_off),
         slot_table=jnp.asarray(slot_table),
         inst_to_entry=jnp.asarray(inst_to_entry),
+        tri_rows=None,
     )
 
     # ---- env map ----------------------------------------------------------
@@ -414,6 +417,14 @@ def compile_scene(scene: Scene, lookup_tables=None):
     tri_attr[:, 26] = inst_padded.astype(np.float32)
     tri_attr[:, 27] = np.where(
         inst_padded >= 0, em_tcount_by_inst[np.maximum(inst_padded, 0)], 0.0
+    )
+    # Emissive NEE rows: the slot_table triangles' attr rows as their own
+    # small table, so lights.sample_emissive_triangle's per-lane gather
+    # reads a few-hundred-row array instead of the full tri_attr (a
+    # full-table (N, 32) row gather is HBM-latency-bound: ~135 ms per
+    # 512^2 dispatch measured vs ~15 ms from small tables).
+    emissive = emissive._replace(
+        tri_rows=jnp.asarray(tri_attr[np.clip(slot_table, 0, tp - 1)])
     )
 
     data = SceneData(

@@ -217,6 +217,11 @@ class EmissiveTable(NamedTuple):
     offset: jnp.ndarray  # (EM,) i32 into slot_table
     slot_table: jnp.ndarray  # (sum tri_count,) i32 — reordered global tri slots
     inst_to_entry: jnp.ndarray  # (n_instances,) i32, -1 when not emissive
+    # tri_attr rows of the slot_table triangles, indexed like slot_table.
+    # NEE sampling gathers from THIS small table instead of the full
+    # (n_tris, 32) tri_attr — a full-table row gather is HBM-latency-bound
+    # (~0.5 us/row measured) while emissive rows are few.
+    tri_rows: jnp.ndarray  # (sum tri_count, TRI_ATTR_COLS) f32
 
 
 class VolumeTable(NamedTuple):
