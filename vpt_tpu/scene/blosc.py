@@ -43,7 +43,9 @@ _tried = False
 _FLAG_BYTE_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
 _FLAG_BIT_SHUFFLE = 0x4
+_FLAG_DONT_SPLIT = 0x10  # c-blosc >= 1.11 records the split decision here
 _MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128  # c-blosc MIN_BUFFERSIZE: smaller blocks never split
 
 CODEC_BLOSCLZ = 0
 CODEC_LZ4 = 1
@@ -189,11 +191,26 @@ def decompress(chunk: bytes) -> bytes:
             "blosclz is not — re-export with the default OpenVDB settings)"
         )
 
+    # Split inference replicates c-blosc 1.x blosc_d() exactly (ADVICE r4):
+    # a block is split into `typesize` streams only when the chunk-level
+    # don't-split flag (0x10, recorded by c-blosc >= 1.11; older writers
+    # never set it and always split under these same conditions) is clear,
+    # the block is NOT the partial trailing (leftover) block, typesize is
+    # splittable, and blocksize/typesize >= MIN_BUFFERSIZE (=128) — real
+    # OpenVDB mask-compressed value buffers under ~512 bytes hit that floor
+    # and arrive unsplit with 0x10 set.
+    dont_split = bool(flags & _FLAG_DONT_SPLIT)
     out = bytearray()
     for bi in range(nblocks):
         bsize = min(blocksize, nbytes - bi * blocksize)
-        nsplits = typesize if (shuffled and typesize <= _MAX_SPLITS
-                               and bsize % typesize == 0) else 1
+        leftover = bsize < blocksize
+        nsplits = (
+            typesize
+            if (not dont_split and not leftover and 1 < typesize <= _MAX_SPLITS
+                and blocksize // typesize >= _MIN_BUFFERSIZE
+                and bsize % typesize == 0)
+            else 1
+        )
         neblock = bsize // nsplits
         pos = bstarts[bi]
         parts = []
@@ -224,7 +241,18 @@ def compress(data: bytes, typesize: int = 4, blocksize: int = 1 << 16) -> bytes:
     if blocksize % typesize:
         blocksize += typesize - blocksize % typesize
     shuffled = typesize > 1 and nbytes % typesize == 0
+    # Mirror c-blosc's split decision (see decompress): split only when
+    # typesize is splittable AND blocksize/typesize clears MIN_BUFFERSIZE;
+    # record a no-split decision in flags bit 4 so real c-blosc (and our
+    # decoder) reads the streams from the right offsets.  The leftover
+    # (partial trailing) block is never split regardless.
+    do_split = (
+        shuffled and 1 < typesize <= _MAX_SPLITS
+        and blocksize // typesize >= _MIN_BUFFERSIZE
+    )
     flags = (_FLAG_BYTE_SHUFFLE if shuffled else 0) | (CODEC_LZ4 << 5)
+    if not do_split:
+        flags |= _FLAG_DONT_SPLIT
     nblocks = -(-nbytes // blocksize) if nbytes else 0
     header = bytearray(16)
     header[0], header[1], header[2], header[3] = 2, 1, flags, typesize
@@ -235,7 +263,7 @@ def compress(data: bytes, typesize: int = 4, blocksize: int = 1 << 16) -> bytes:
         raw = data[bi * blocksize : bi * blocksize + blocksize]
         bsize = len(raw)
         block = _shuffle(raw, typesize) if (shuffled and bsize % typesize == 0) else raw
-        nsplits = typesize if (shuffled and typesize <= _MAX_SPLITS
+        nsplits = typesize if (do_split and bsize == blocksize
                                and bsize % typesize == 0) else 1
         neblock = bsize // nsplits
         bstarts.append(base + len(body))
