@@ -7,6 +7,10 @@ Scene: colonnade (~334k triangles — BASELINE.json defines the target on a
 ~300K-tri Sponza-class scene; the reference's own Sponza asset is not
 bundled, so this is the equivalent-scale stand-in: instanced fluted
 columns, drapes, statues, emissive lamps, sun-hotspot sky).
+
+This file is the ONLY perf oracle (VERDICT r4): PERF.md numbers must
+reproduce under `python bench.py` cold, and the run refuses to start if
+any VPT_* tuning/ablation env var is set (vpt_tpu.envguard).
 """
 
 from __future__ import annotations
@@ -17,11 +21,19 @@ import time
 import numpy as np
 
 BASELINE_SEGMENTS_PER_SEC = 200e6
+# Nominal TPU v5e (lite) TensorCore clock — used only to express the wall
+# rate in hardware terms (cycles of ONE chip per path segment, including
+# the XLA envelope and relay floor, not kernel-only time).
+TPU_V5E_CLOCK_HZ = 940e6
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    from vpt_tpu.envguard import require_clean_env
+
+    require_clean_env()
 
     from vpt_tpu.api import _render_step
     from vpt_tpu.core.camera import perspective
@@ -52,16 +64,15 @@ def main():
     # noise, not device capability).  Relay/cache artifacts can produce
     # physically impossible per-dispatch timings (VERDICT r3 recorded a
     # 1.15 G segs/s "dispatch"); any rate > 3x or < 1/3x the running median
-    # is DISCARDED and re-run (up to a retry budget) so the committed
-    # artifact is clean, not merely warned about.
-    n_dispatches = 8
+    # is DISCARDED and re-run (up to a retry budget), and the artifact
+    # reports how many were discarded (`detail.discarded`) plus aggregates
+    # recomputed from the KEPT set only (ADVICE r4).
+    n_target = 8
     max_total = 24
-    rates = []
-    total_segments = 0.0
-    elapsed = 0.0
+    kept = []  # (rate, segments, dt) per kept dispatch
     discarded = 0
     i = 0
-    while len(rates) < n_dispatches and i < max_total:
+    while len(kept) < n_target and i < max_total:
         t0 = time.perf_counter()
         out, segs = _render_step(
             data, meta, flags, params, jnp.uint32(2 + i), (width, height), out,
@@ -71,8 +82,8 @@ def main():
         dt = time.perf_counter() - t0
         i += 1
         rate = float(segs) / dt
-        if len(rates) >= 3:
-            med = float(np.median(rates))
+        if len(kept) >= 3:
+            med = float(np.median([k[0] for k in kept]))
             if rate > 3.0 * med or rate < med / 3.0:
                 discarded += 1
                 print(
@@ -80,30 +91,46 @@ def main():
                     f"(running median {med/1e6:.2f} M)", flush=True,
                 )
                 continue
-        rates.append(rate)
-        total_segments += float(segs)
-        elapsed += dt
+        kept.append((rate, float(segs), dt))
         # Retrospective prune: an artifact in the FIRST <3 dispatches (before
         # the prospective screen arms) must not survive into the committed
         # artifact (VERDICT r3/r4: 1.15G and 5.1G "dispatches" did).  The
         # median is always a member of the kept set, so pruning against it
         # keeps the honest majority and re-runs the slots it frees.
-        if len(rates) >= 4:
-            med = float(np.median(rates))
-            kept = [r for r in rates if med / 3.0 <= r <= 3.0 * med]
-            if len(kept) != len(rates):
-                discarded += len(rates) - len(kept)
+        if len(kept) >= 4:
+            med = float(np.median([k[0] for k in kept]))
+            pruned = [k for k in kept if med / 3.0 <= k[0] <= 3.0 * med]
+            if len(pruned) != len(kept):
+                discarded += len(kept) - len(pruned)
                 print(
-                    f"retro-discarding {len(rates) - len(kept)} early outlier(s) "
+                    f"retro-discarding {len(kept) - len(pruned)} early outlier(s) "
                     f"(median {med/1e6:.2f} M)", flush=True,
                 )
-                rates = kept
+                kept = pruned
 
+    rates = [k[0] for k in kept]
+    total_segments = sum(k[1] for k in kept)
+    elapsed = sum(k[2] for k in kept)
     value = float(np.median(rates))
+    median_dt = float(np.median([k[2] for k in kept]))
+    segs_per_dispatch = float(np.median([k[1] for k in kept]))
     spread = max(rates) / max(min(rates), 1e-9)
     if spread > 3.0:
         # Still possible if the first 3 (pre-screen) dispatches disagreed.
         print(f"WARNING: dispatch rate spread {spread:.1f}x > 3x — noisy run", flush=True)
+
+    # Time to 1024 spp at this resolution: each dispatch adds
+    # spp_per_dispatch samples to every pixel, so EXACTLY
+    # ceil(1024 / spp_per_dispatch) dispatches are needed; extrapolated as
+    # that count x the median measured dispatch wall time (VERDICT r4 #5;
+    # reference telemetry analogue Editor.cpp:410-427).
+    time_to_1024spp = -(-1024 // spp_per_dispatch) * median_dt
+
+    # Hardware terms (VERDICT r4 #6): wall-clock chip cycles per path
+    # segment at the nominal v5e clock — includes the XLA envelope and the
+    # axon relay floor, i.e. the honest end-to-end figure, not kernel-only.
+    cycles_per_segment = median_dt * TPU_V5E_CLOCK_HZ / max(segs_per_dispatch, 1.0)
+
     print(
         json.dumps(
             {
@@ -120,9 +147,13 @@ def main():
                     "n_tris": meta.n_tris,
                     "resolution": [width, height],
                     "spp_per_dispatch": spp_per_dispatch,
-                    "dispatches": n_dispatches,
+                    "dispatches": len(kept),
+                    "discarded": discarded,
                     "elapsed_s": round(elapsed, 3),
                     "total_segments": total_segments,
+                    "median_dispatch_s": round(median_dt, 4),
+                    "time_to_1024spp_s": round(time_to_1024spp, 1),
+                    "cycles_per_segment": round(cycles_per_segment, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -75,9 +75,13 @@ _FLAG_ANYHIT = 2
 
 # Profiling ablations (scripts/visit_floor_probe.py): compile-time switches
 # that remove stages of the visit so on-chip time attributes to cluster
-# slab / row sub-slab / MT.  "" = production.  NEVER set in rendering.
+# slab / row sub-slab / MT.  "" = production.  NEVER set in rendering —
+# envguard.guard_ablations() hard-fails golden runs if one leaks in.
 #   norows — cluster slab + rbits drain only (skip sub-slabs + MT)
 #   nomt   — cluster slab + row sub-slabs + drains (skip MT blocks)
+from vpt_tpu.envguard import guard_ablations
+
+guard_ablations()
 _ABLATE = os.environ.get("VPT_STREAM_ABLATE", "")
 
 # MT dispatch mode: "dense" (default) runs every sub-block's

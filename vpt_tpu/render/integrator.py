@@ -23,6 +23,9 @@ import os
 import jax
 import jax.numpy as jnp
 
+from vpt_tpu.envguard import guard_ablations
+
+guard_ablations()
 # Experiment knob: nearest-cluster ray regrouping before each trace.
 _SORT_RAYS = os.environ.get("VPT_SORT_RAYS", "1") == "1"
 
@@ -426,12 +429,16 @@ def path_trace_sample(
             light_org = surf.world_pos + to_light * light_eps
         # Shadow queries, one batched ANY-HIT occlusion pass: the SKY half
         # blocks on any hit (DoesRayIntersectWithAS, RTCommon.slang:47-84);
-        # the LIGHT half excludes the sampled triangle id and stops just
-        # SHORT of the sample (0.999x), equivalent to the reference's
-        # closest==target compare (ClosestHit.slang:169-176) up to
-        # occluders within 0.1% of the light's distance.  Only the NEE
-        # halves that are statically enabled are traced — a disabled half
-        # would be N dead lanes still paying cull+dispatch.
+        # the LIGHT half excludes the sampled triangle id and runs to the
+        # sample's exact parametric distance from the OFFSET origin
+        # (light_dist - light_eps; the sampled triangle itself is filtered
+        # by id, so no relative shortening is needed) — equivalent to the
+        # reference's closest==target compare (ClosestHit.slang:169-176)
+        # with no distance-proportional blind zone (ADVICE r4: a 0.999x
+        # factor let occluders within 0.1% of the light leak, growing with
+        # scene scale).  Only the NEE halves that are statically enabled
+        # are traced — a disabled half would be N dead lanes still paying
+        # cull+dispatch.
         sky_half = bool(flags.enable_sky_mis)
         light_half = bool(use_mesh_nee)
         parts = []
@@ -441,7 +448,7 @@ def path_trace_sample(
                           jnp.full(n, -1, jnp.int32)))
         if light_half:
             parts.append((light_org, to_light, need_light,
-                          jnp.maximum(light_dist * 0.999, t_min_s),
+                          jnp.maximum(light_dist - light_eps[:, 0], t_min_s),
                           light_tri))
         if parts:
             shadow_org = jnp.concatenate([p[0] for p in parts])

@@ -161,7 +161,12 @@ def bake_refraction_table(above_surface: bool, n_samples: int = 4096, seed: int 
     return np.asarray(run())
 
 
-REFERENCE_TABLE_DIR = "/root/reference/Assets/LookupTables"
+# Where the reference's committed .bin tables live; override with
+# VPT_REFERENCE_TABLES (or the table_dir argument) on machines where the
+# reference checkout is elsewhere (ADVICE r4).
+REFERENCE_TABLE_DIR = os.environ.get(
+    "VPT_REFERENCE_TABLES", "/root/reference/Assets/LookupTables"
+)
 
 
 def load_reference_tables(table_dir: str | None = None):
