@@ -27,6 +27,27 @@ BASELINE_SEGMENTS_PER_SEC = 200e6
 TPU_V5E_CLOCK_HZ = 940e6
 
 
+def derived_hardware_detail(median_rate, median_dt, segs_per_dispatch, spp_per_dispatch):
+    """Pure derivation of the hardware-terms bench fields (unit-tested:
+    tests/test_api.py::test_bench_derived_detail_finite).
+
+    - time_to_1024spp_s: dispatches needed x measured dispatch wall
+      (VERDICT r4 #5; reference ETA analogue Editor.cpp:410-427).
+    - cycles_per_segment: wall chip cycles per path segment.
+    - mt_utilization_pct: fraction of VPU peak spent on USEFUL
+      Moller-Trumbore tests (~290/segment at ~40 flops on the colonnade
+      cost model) — the automated fill figure (VERDICT r4 #6).
+    """
+    time_to_1024spp = -(-1024 // spp_per_dispatch) * median_dt
+    cycles_per_segment = median_dt * TPU_V5E_CLOCK_HZ / max(segs_per_dispatch, 1.0)
+    mt_utilization_pct = median_rate * 290.0 * 40.0 / 4e12 * 100.0
+    return {
+        "time_to_1024spp_s": round(time_to_1024spp, 1),
+        "cycles_per_segment": round(cycles_per_segment, 1),
+        "mt_utilization_pct": round(mt_utilization_pct, 4),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -119,17 +140,7 @@ def main():
         # Still possible if the first 3 (pre-screen) dispatches disagreed.
         print(f"WARNING: dispatch rate spread {spread:.1f}x > 3x — noisy run", flush=True)
 
-    # Time to 1024 spp at this resolution: each dispatch adds
-    # spp_per_dispatch samples to every pixel, so EXACTLY
-    # ceil(1024 / spp_per_dispatch) dispatches are needed; extrapolated as
-    # that count x the median measured dispatch wall time (VERDICT r4 #5;
-    # reference telemetry analogue Editor.cpp:410-427).
-    time_to_1024spp = -(-1024 // spp_per_dispatch) * median_dt
-
-    # Hardware terms (VERDICT r4 #6): wall-clock chip cycles per path
-    # segment at the nominal v5e clock — includes the XLA envelope and the
-    # axon relay floor, i.e. the honest end-to-end figure, not kernel-only.
-    cycles_per_segment = median_dt * TPU_V5E_CLOCK_HZ / max(segs_per_dispatch, 1.0)
+    hw = derived_hardware_detail(value, median_dt, segs_per_dispatch, spp_per_dispatch)
 
     print(
         json.dumps(
@@ -152,8 +163,7 @@ def main():
                     "elapsed_s": round(elapsed, 3),
                     "total_segments": total_segments,
                     "median_dispatch_s": round(median_dt, 4),
-                    "time_to_1024spp_s": round(time_to_1024spp, 1),
-                    "cycles_per_segment": round(cycles_per_segment, 1),
+                    **hw,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -105,3 +105,22 @@ def test_export_filename_embeds_stats(tmp_path, renderer):
     r.render(total_samples=2)
     p = r.save(str(tmp_path / "img"), embed_stats=True)
     assert "spp" in p and p.endswith(".png")
+
+
+def test_bench_derived_detail_finite():
+    """bench.py's hardware-terms fields are pure derivations; assert they
+    stay finite and positive on representative inputs (VERDICT r4 #6)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    hw = bench.derived_hardware_detail(
+        median_rate=1.0e6, median_dt=4.2, segs_per_dispatch=4.4e6, spp_per_dispatch=4
+    )
+    for k in ("time_to_1024spp_s", "cycles_per_segment", "mt_utilization_pct"):
+        assert np.isfinite(hw[k]) and hw[k] > 0, (k, hw[k])
+    assert hw["time_to_1024spp_s"] == 256 * 4.2
