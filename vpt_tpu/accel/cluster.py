@@ -38,11 +38,13 @@ from vpt_tpu.accel.bvh import FlatBVH
 from vpt_tpu.accel.traverse import Hit, T_MAX, T_MIN
 from vpt_tpu.accel.visit_kernel import GROUP_SIZE
 
-# Tris per cluster.  Swept on the colonnade bench (PERF.md): 128 -> 0.45,
-# 256 -> 0.80, 512 -> 0.61, 1024 -> 0.66 M segs/s — tighter boxes cut the
-# Möller-Trumbore flops per visit faster than the per-visit orchestration
-# grows, down to 256.
-CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "256"))
+# Tris per cluster.  Re-swept round 5 on the post-platform-change Mosaic
+# (PERF.md): the r4 optimum K=256 flipped to K=128 — the new compiler made
+# the dense masked Möller-Trumbore blocks the dominant cost (~300 of a
+# 444 ms bounce trace at K=256), so halving the tris tested per entering
+# row wins despite more clusters/DMAs: colonnade bounce trace 444 -> 231
+# ms, full dispatch 11.9 -> 1.92 s (0.38 -> 2.33 M segs/s end-to-end).
+CLUSTER_SIZE = int(os.environ.get("VPT_CLUSTER_SIZE", "128"))
 _SORT_KEY = os.environ.get("VPT_SORT_KEY", "fs")  # fs=first+second, fe=first+entry
 # Rays per packet.  Swept on the colonnade bench at K=256 (PERF.md):
 # 128 -> 0.80, 256 -> 0.95, 512 -> 1.06, 1024 -> 0.44 M segs/s — wider

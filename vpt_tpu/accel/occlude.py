@@ -74,8 +74,8 @@ def _occlude_kernel(
     invx, invy, invz,  # (T, 8, 128) VMEM: per-band reciprocal dirs
     undone,            # (T,) i32 SMEM: supertile has unresolved rays
     tcaps,             # (T,) f32 SMEM: max live-ray tmax per supertile
-    gbuf,              # (GROUP_SIZE, K/8 + 8, 128) VMEM: whole-group blocks
-    gsem,              # DMA semaphore
+    gbuf,              # (2, GROUP_SIZE, K/8 + 8, 128) VMEM: double-buffered group blocks
+    gsem,              # (2,) DMA semaphores (double buffer)
 ):
     blocked_out[...] = jnp.zeros(blocked_out.shape, jnp.int32)
 
@@ -287,20 +287,46 @@ def _occlude_kernel(
     def cond(state):
         return state[1]
 
+    # Double-buffered group DMA (see stream.py): prefetch group gi+1 while
+    # visiting gi — in-dispatch, synchronous per-group start+wait stalls on
+    # DMA contention from the copies XLA schedules around the kernel.
+    def _start_fetch(gi_val):
+        g = order_ref[0, 0, gi_val]
+        slot = jax.lax.rem(gi_val, 2)
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)],
+            gbuf.at[slot], gsem.at[slot],
+        ).start()
+
+    def _wait_fetch(gi_val):
+        g = order_ref[0, 0, gi_val]
+        slot = jax.lax.rem(gi_val, 2)
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)],
+            gbuf.at[slot], gsem.at[slot],
+        ).wait()
+
+    @pl.when(ng > 0)
+    def _prime():
+        _start_fetch(jnp.int32(0))
+
     def body(state):
         gi, _ = state
         g = order_ref[0, 0, gi]
         word = bits_ref[0, 0, g]
         c0 = g * GROUP_SIZE
+        gi2 = gi + 1
+
+        @pl.when(gi2 < ng)
+        def _prefetch():
+            _start_fetch(gi2)
+
+        _wait_fetch(gi)
+        slot = jax.lax.rem(gi, 2)
 
         @pl.when(word != jnp.uint32(0))
         def _grp():
-            cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)], gbuf, gsem
-            )
-            cp.start()
-            cp.wait()
-            _visit_group(c0, gbuf, word, g)
+            _visit_group(c0, gbuf.at[slot], word, g)
 
         # Exit when no supertile has unresolved rays, or when the next
         # entry exceeds every unresolved supertile's tmax cap (scalar
@@ -310,11 +336,14 @@ def _occlude_kernel(
         for t in range(1, tiles):
             any_undone = jnp.maximum(any_undone, undone[t])
             cap = jnp.maximum(cap, jnp.where(undone[t] > 0, tcaps[t], t_min))
-        gi2 = gi + 1
         nxt = entry_ref[0, 0, jnp.minimum(gi2, jnp.maximum(ng - 1, 0))]
         return gi2, (gi2 < ng) & (any_undone > 0) & (nxt < cap)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
+    gi_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
+
+    @pl.when((ng > 0) & (gi_final < ng))
+    def _drain():
+        _wait_fetch(gi_final)
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -387,8 +416,8 @@ def occlude_pallas(
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.SMEM((t,), jnp.int32),
             pltpu.SMEM((t,), jnp.float32),
-            pltpu.VMEM((GROUP_SIZE, rows, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, GROUP_SIZE, rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(

@@ -92,6 +92,16 @@ _ABLATE = os.environ.get("VPT_STREAM_ABLATE", "")
 # sparse 4.28 s (-13%) even though dense does ~3x the MT vector work.
 _MT_DENSE = os.environ.get("VPT_STREAM_MT", "dense") != "sparse"
 
+# Schedule knobs (results identical; drain/vector-work trade, fenced by
+# envguard so probe settings can't leak into golden/bench runs):
+#   VPT_CAPS_EVERY=N — tighten per-supertile caps every Nth candidate
+#     group instead of every (group, supertile) visit (each tighten is a
+#     vector->scalar drain).
+#   VPT_ROW_GATE=all — skip the (member,row)-bits words readback (two
+#     drains per visit) and run every member/row with vector enter masks.
+_CAPS_EVERY = int(os.environ.get("VPT_CAPS_EVERY", "1"))
+_ROW_GATE_ALL = os.environ.get("VPT_ROW_GATE", "gated") == "all"
+
 
 def _ctz32(w):
     """Count trailing zeros of a nonzero uint32 scalar: branch-free binary
@@ -136,7 +146,7 @@ def _stream_kernel(
     # scratch
     invx, invy, invz,  # (T, 8, 128) VMEM scratch: per-band reciprocal dirs
     caps,              # (T,) f32 SMEM: per-supertile running best-t caps
-    gbuf,              # (GROUP_SIZE, K/8 + 8, 128) VMEM: whole-group blocks
+    gbuf,              # (2, GROUP_SIZE, K/8 + 8, 128) VMEM: double-buffered group blocks
     gsem,              # DMA semaphore for the group copy
 ):
     t_out[...] = tmax_ref[...]
@@ -181,7 +191,7 @@ def _stream_kernel(
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
         return (tn <= tf) & live
 
-    def _visit_group_supertile(c0, src, j):
+    def _visit_group_supertile(c0, src, j, g_for_caps):
         """All GROUP_SIZE member clusters of one candidate group against
         supertile j.  Pass 1 (vector only) runs every member's world slab
         and packs (member, row) any-bits as distinct powers of two — ONE
@@ -190,40 +200,57 @@ def _stream_kernel(
         dominated kernel time at ~1 us per drain.  Pass 2 re-runs the
         12-op slab only for members with bits set and row-dispatches the
         sub-slab + MT exactly as before."""
-        riota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 1), 0)
-        words = []
-        for w0 in range(0, GROUP_SIZE, 4):
-            acc = jnp.zeros((SUPER_ROWS, 1), jnp.int32)
-            for mw in range(min(4, GROUP_SIZE - w0)):
-                cid = c0 + w0 + mw
-                enter = _member_enter(cid, j)
-                row_any = jnp.max(
-                    enter.astype(jnp.int32), axis=1, keepdims=True
-                )  # (8, 1)
-                occupied = jnp.where(
-                    cnt_ref[0, cid] > 0, jnp.int32(1), jnp.int32(0)
-                )
-                acc = acc + jnp.where(
-                    row_any > 0,
-                    jnp.int32(1) << (riota + 8 * mw),
-                    jnp.int32(0),
-                ) * occupied
-            # Distinct powers of two per (member, row): sum == bitwise or.
-            words.append(jnp.sum(acc))
+        if _ROW_GATE_ALL:
+            # Drain-free schedule: no (member,row) bits readback — every
+            # occupied member runs all rows with vector enter masks.
+            if _ABLATE != "norows":
+                for m in range(GROUP_SIZE):
 
-        if _ABLATE != "norows":
-            for m in range(GROUP_SIZE):
-                byte = (words[m // 4] >> (8 * (m % 4))) & 0xFF
-
-                @pl.when(byte != 0)
-                def _m(m=m, byte=byte):
-                    cid = c0 + m
+                    @pl.when(cnt_ref[0, c0 + m] > 0)
+                    def _m(m=m):
+                        cid = c0 + m
+                        enter = _member_enter(cid, j)
+                        _visit_rows(cid, src, m, j, None, enter)
+        else:
+            riota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_ROWS, 1), 0)
+            words = []
+            for w0 in range(0, GROUP_SIZE, 4):
+                acc = jnp.zeros((SUPER_ROWS, 1), jnp.int32)
+                for mw in range(min(4, GROUP_SIZE - w0)):
+                    cid = c0 + w0 + mw
                     enter = _member_enter(cid, j)
-                    _visit_rows(cid, src, m, j, byte, enter)
+                    row_any = jnp.max(
+                        enter.astype(jnp.int32), axis=1, keepdims=True
+                    )  # (8, 1)
+                    occupied = jnp.where(
+                        cnt_ref[0, cid] > 0, jnp.int32(1), jnp.int32(0)
+                    )
+                    acc = acc + jnp.where(
+                        row_any > 0,
+                        jnp.int32(1) << (riota + 8 * mw),
+                        jnp.int32(0),
+                    ) * occupied
+                # Distinct powers of two per (member, row): sum == bitwise or.
+                words.append(jnp.sum(acc))
 
-        # Tighten the supertile's running cap once per group visit (the
-        # old per-member update was another drain per member).
-        caps[j] = _tile_cap(j)
+            if _ABLATE != "norows":
+                for m in range(GROUP_SIZE):
+                    byte = (words[m // 4] >> (8 * (m % 4))) & 0xFF
+
+                    @pl.when(byte != 0)
+                    def _m(m=m, byte=byte):
+                        cid = c0 + m
+                        enter = _member_enter(cid, j)
+                        _visit_rows(cid, src, m, j, byte, enter)
+
+        # Tighten the supertile's running cap (a vector->scalar drain) —
+        # every visit by default, throttled by VPT_CAPS_EVERY.
+        if _CAPS_EVERY <= 1:
+            caps[j] = _tile_cap(j)
+        else:
+            @pl.when(jax.lax.rem(g_for_caps, jnp.int32(_CAPS_EVERY)) == 0)
+            def _tighten():
+                caps[j] = _tile_cap(j)
 
     def _visit_rows(cid, src, sidx, j, rbits, enter):
         o8 = (ox_ref[j], oy_ref[j], oz_ref[j])
@@ -264,7 +291,6 @@ def _stream_kernel(
         siota = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, 1), 0)
         for r in range(SUPER_ROWS):
 
-            @pl.when(((rbits >> r) & 1) != 0)
             def _row(r=r):
                 er = enter[r : r + 1, :]                       # (1, 128)
                 ro_r = (lox[r : r + 1], loy[r : r + 1], loz[r : r + 1])
@@ -368,6 +394,11 @@ def _stream_kernel(
                     else:
                         pl.when(((sbits >> s) & 1) != 0)(_mt)
 
+            if rbits is None:
+                _row()
+            else:
+                pl.when(((rbits >> r) & 1) != 0)(_row)
+
     def _visit_group(c0, src, word, g):
         """Visit every supertile whose mask bit is set, screened against
         the per-supertile running cap at one SMEM compare per bit."""
@@ -378,7 +409,7 @@ def _stream_kernel(
 
             @pl.when(sent_ref[0, 0, j * gp_w + g] <= caps[j])
             def _go():
-                _visit_group_supertile(c0, src, j)
+                _visit_group_supertile(c0, src, j, g)
 
             return w & (w - jnp.uint32(1))
 
@@ -389,6 +420,32 @@ def _stream_kernel(
         caps[t] = _tile_cap(t)
 
     # --- candidate group stream ------------------------------------------
+    # Double-buffered group DMA: group gi+1's member blocks (consecutive
+    # tris_rk rows from gblk_ref, trailing zero-pad rows make the fixed
+    # size safe) prefetch into slot (gi+1)%2 while gi's visit computes —
+    # in-dispatch the ray-payload copies XLA schedules around the kernel
+    # contend for DMA, so a synchronous start+wait per candidate group
+    # stalls far longer than it does standalone.
+    def _start_fetch(gi_val):
+        g = order_ref[0, 0, gi_val]
+        slot = jax.lax.rem(gi_val, 2)
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)],
+            gbuf.at[slot], gsem.at[slot],
+        ).start()
+
+    def _wait_fetch(gi_val):
+        g = order_ref[0, 0, gi_val]
+        slot = jax.lax.rem(gi_val, 2)
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)],
+            gbuf.at[slot], gsem.at[slot],
+        ).wait()
+
+    @pl.when(ng > 0)
+    def _prime():
+        _start_fetch(jnp.int32(0))
+
     def cond(state):
         return state[1]
 
@@ -397,31 +454,34 @@ def _stream_kernel(
         g = order_ref[0, 0, gi]
         word = bits_ref[0, 0, g]
         c0 = g * GROUP_SIZE
+        gi2 = gi + 1
 
-        # ONE fixed-size async copy fetches the whole group's member
-        # blocks (real members are consecutive tris_rk rows from
-        # gblk_ref; trailing zero-pad rows make the fixed size safe) —
-        # one DMA latency per candidate group instead of up to
-        # GROUP_SIZE start+wait stalls.
+        @pl.when(gi2 < ng)
+        def _prefetch():
+            _start_fetch(gi2)
+
+        _wait_fetch(gi)
+        slot = jax.lax.rem(gi, 2)
+
         @pl.when(word != jnp.uint32(0))
         def _grp():
-            cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(gblk_ref[0, g], GROUP_SIZE)], gbuf, gsem
-            )
-            cp.start()
-            cp.wait()
-            _visit_group(c0, gbuf, word, g)
+            _visit_group(c0, gbuf.at[slot], word, g)
 
         # Band early-exit bound: max cap over the band's supertiles — a
         # scalar loop over SMEM, no vector reduction.
         cap = caps[0]
         for t in range(1, tiles):
             cap = jnp.maximum(cap, caps[t])
-        gi2 = gi + 1
         nxt = entry_ref[0, 0, jnp.minimum(gi2, jnp.maximum(ng - 1, 0))]
         return gi2, (gi2 < ng) & (nxt < cap)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
+    gi_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), ng > 0))
+
+    # Early cap-exit leaves at most one prefetch in flight — consume it so
+    # the semaphore is balanced for the next grid step.
+    @pl.when((ng > 0) & (gi_final < ng))
+    def _drain():
+        _wait_fetch(gi_final)
 
 
 @functools.partial(
@@ -496,8 +556,8 @@ def stream_pallas(
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.VMEM((t, SUPER_ROWS, 128), jnp.float32),
             pltpu.SMEM((t,), jnp.float32),
-            pltpu.VMEM((GROUP_SIZE, rows, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, GROUP_SIZE, rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(

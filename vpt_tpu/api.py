@@ -40,8 +40,7 @@ class PostSettings:
     enable_bloom: bool = False
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 5, 8))
-def _render_step(
+def _render_step_impl(
     scene_data, meta, flags, params, frame_seed, resolution, accum, frame_count,
     n_samples, pixel_xy=None, pixel_index=None, scatter=None,
 ):
@@ -67,6 +66,47 @@ def _render_step(
     new = scatter_to_image(radiance, scatter, padded, width, height)
     out = integrator.accumulate_ewma(accum, new, frame_count)
     return out, segments
+
+
+# Scene-closure jit cache.  The scene pytree must reach XLA as a CLOSURE
+# CONSTANT, not a traced argument: the TPU compiler stages large
+# loop-invariant *arguments* of the path-tracing while_loop through
+# per-iteration copies (measured 2026-08-20: the identical 4-iteration
+# trace loop runs 0.24 s with the scene closed over vs 10.7 s passed as an
+# argument — scripts/loopshape_check.py vs scripts/whileloop_check.py).
+# Keyed by the identity of the scene's leaves plus every static knob;
+# entries hold strong references so ids cannot be recycled while cached.
+_STEP_CACHE: "dict" = {}
+_STEP_CACHE_CAP = 8
+
+
+def _render_step(
+    scene_data, meta, flags, params, frame_seed, resolution, accum, frame_count,
+    n_samples, pixel_xy=None, pixel_index=None, scatter=None,
+):
+    leaves = jax.tree.leaves(scene_data)
+    key = (
+        tuple(id(x) for x in leaves), meta, flags, resolution, int(n_samples),
+        None if pixel_xy is None else (id(pixel_xy), id(pixel_index), id(scatter)),
+    )
+    hit = _STEP_CACHE.get(key)
+    if hit is None:
+        if len(_STEP_CACHE) >= _STEP_CACHE_CAP:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        data_c = scene_data
+        pxy_c, pidx_c, sct_c = pixel_xy, pixel_index, scatter
+
+        @jax.jit
+        def step(params, frame_seed, accum, frame_count):
+            return _render_step_impl(
+                data_c, meta, flags, params, frame_seed, resolution, accum,
+                frame_count, n_samples, pxy_c, pidx_c, sct_c,
+            )
+
+        # Strong refs keep the id() key valid for the cache's lifetime.
+        hit = (step, scene_data, (pixel_xy, pixel_index, scatter))
+        _STEP_CACHE[key] = hit
+    return hit[0](params, frame_seed, accum, frame_count)
 
 
 class Renderer:

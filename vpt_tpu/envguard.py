@@ -24,6 +24,11 @@ ABLATION_DEFAULTS = {
     "VPT_TRACE": "stream",     # packet backend: same results, not the prod path
     "VPT_SORT_RAYS": "1",
     "VPT_STREAM_MT": "dense",
+    # Schedule knobs (same results, different drain/vector trade) — fenced
+    # so a probe session can't leave a non-default schedule in a golden or
+    # bench run.
+    "VPT_CAPS_EVERY": "1",     # tighten per-supertile caps every Nth group
+    "VPT_ROW_GATE": "gated",   # "all" = unconditional rows, no word drains
 }
 
 
